@@ -1,0 +1,85 @@
+"""Multiobjective filter for relaxable nonlinear constraints.
+
+Fixed-capacity (theta, f) array with masked dominance tests — the
+static-shape redesign of ``MaxFilter``/``StrictFilter``/``DummyFilter``
+(``src/AbstractFilterInterface.jl``, ``src/FilterImplementation.jl``).
+
+``MaxFilter`` compares the scalar ``maximum(fx)``; ``StrictFilter`` compares
+componentwise. Both are covered by storing f-entries of static width
+``f_dim`` (1 for max, m for strict). Entries are envelope-shifted on insert
+(``add_entry!``, ``AbstractFilterInterface.jl:32-39``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FilterState(NamedTuple):
+    theta: jax.Array  # (cap,)
+    fvals: jax.Array  # (cap, f_dim)
+    count: jax.Array  # int32
+
+
+def init_filter(cap: int, f_dim: int, dtype) -> FilterState:
+    return FilterState(
+        theta=jnp.zeros((cap,), dtype),
+        fvals=jnp.zeros((cap, f_dim), dtype),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def compute_constraint_val(l_e, l_i, c_e, c_i):
+    """theta = max(0, max|l_e|, max(l_i), max|c_e|, max(c_i))
+    (``AbstractFilterInterface.jl:15-21``). Empty blocks are zero-length
+    static arrays and contribute 0."""
+    parts = [jnp.zeros((1,), l_e.dtype if l_e.size else jnp.result_type(float))]
+    if l_e.shape[0]:
+        parts.append(jnp.max(jnp.abs(l_e))[None])
+    if l_i.shape[0]:
+        parts.append(jnp.max(l_i)[None])
+    if c_e.shape[0]:
+        parts.append(jnp.max(jnp.abs(c_e))[None])
+    if c_i.shape[0]:
+        parts.append(jnp.max(c_i)[None])
+    return jnp.max(jnp.concatenate(parts))
+
+
+def compute_objective_val(fx, mode: str):
+    """'max' -> maximum(fx) (``FilterImplementation.jl:32-34``);
+    'strict' -> fx componentwise (``:47``)."""
+    if mode == "max":
+        return jnp.max(fx)[None]
+    return fx
+
+
+def add_entry(filt: FilterState, theta_k, f_k, shift) -> FilterState:
+    """Envelope-shifted insert (``AbstractFilterInterface.jl:32-39``)."""
+    cap = filt.theta.shape[0]
+    ok = filt.count < cap
+    slot = jnp.clip(filt.count, 0, cap - 1)
+    theta = theta_k - shift * theta_k
+    f = f_k - shift * theta_k
+    return FilterState(
+        theta=jnp.where(ok, filt.theta.at[slot].set(theta), filt.theta),
+        fvals=jnp.where(ok, filt.fvals.at[slot].set(f), filt.fvals),
+        count=jnp.where(ok, filt.count + 1, filt.count),
+    )
+
+
+def is_acceptable(filt: FilterState, theta, f) -> jax.Array:
+    """(theta, f) vs all stored entries (``AbstractFilterInterface.jl:47-58``):
+    dominated iff theta > theta_j AND any(f > f_j) for some entry j."""
+    valid = jnp.arange(filt.theta.shape[0]) < filt.count
+    dominated = (theta > filt.theta) & jnp.any(f[None, :] > filt.fvals, axis=1)
+    return ~jnp.any(dominated & valid)
+
+
+def is_acceptable_vs(filt: FilterState, theta, f, theta_k, f_k, shift) -> jax.Array:
+    """(theta, f) vs filter AND vs the current iterate's shifted envelope
+    (``AbstractFilterInterface.jl:60-71``)."""
+    ok_k = (theta <= (1.0 - shift) * theta_k) | jnp.all(f <= f_k - shift * theta_k)
+    return ok_k & is_acceptable(filt, theta, f)

@@ -1,0 +1,186 @@
+"""Batched dense QP/LP solver (fixed-iteration ADMM + active-set polish).
+
+TPU-native replacement for the OSQP C library, which the reference calls via
+JuMP for the multiobjective steepest-descent LP (``src/descent.jl:91-135``)
+and the normal-step LP (``src/descent.jl:691-758``). OSQP itself is ADMM with
+an optional polish step; we implement the same operator splitting with a
+*fixed* iteration budget and a fixed-shape active-set polish, so the whole
+solve is one jittable dense-linear-algebra pipeline that can be ``vmap``-ed
+over problem instances (the batched GEMMs/solves then saturate the MXU).
+
+Problem form (OSQP form):
+
+    min   1/2 z' P z + q' z
+    s.t.  l <= A z <= u
+
+Equality rows are expressed as ``l_i == u_i``. Padded rows are expressed as
+``l_i = -inf, u_i = +inf`` (they never bind and contribute nothing).
+
+All shapes are static; dtype follows the inputs (use float64 for
+trajectory-parity runs, float32 on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QPSolution(NamedTuple):
+    z: jax.Array          # primal solution, shape (n,)
+    y: jax.Array          # dual solution, shape (m,)
+    obj: jax.Array        # objective value at z
+    prim_res: jax.Array   # ||clip violation||_inf
+    dual_res: jax.Array   # ||P z + q + A' y||_inf
+    status_ok: jax.Array  # bool: residuals below tolerance
+
+
+def _rho_vec(l, u, rho):
+    """Per-row penalty: OSQP uses ``rho*1e3`` on equality rows."""
+    is_eq = (u - l) <= 1e-12
+    loose = jnp.isinf(l) & jnp.isinf(u)
+    r = jnp.where(is_eq, rho * 1e3, rho)
+    return jnp.where(loose, rho * 1e-6, r)
+
+
+def solve_qp(
+    P: jax.Array,
+    q: jax.Array,
+    A: jax.Array,
+    l: jax.Array,
+    u: jax.Array,
+    iters: int = 400,
+    rho: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    polish: bool = True,
+    adapt_every: int = 100,
+    eps: float = 1e-8,
+) -> QPSolution:
+    """Solve one dense QP. ``vmap`` over a leading axis for batches.
+
+    The ADMM recursion follows OSQP (Stellato et al., 2020): a single dense
+    KKT factorization ``M = P + sigma I + A' diag(rho) A`` per rho-stage, then
+    ``iters`` fixed splitting steps; rho is rescaled from the residual ratio
+    every ``adapt_every`` iterations (a handful of refactorizations — cheap at
+    these sizes and fully batchable).
+    """
+    n = q.shape[0]
+    dtype = q.dtype
+    m = A.shape[0]
+
+    def stage(carry, rho_scale_unused=None):
+        z, zz, y, rho_v = carry
+        M = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
+        # Cholesky once per stage
+        L = jnp.linalg.cholesky(M)
+
+        def step(_, s):
+            z, zz, y = s
+            rhs = sigma * z - q + A.T @ (rho_v * zz - y)
+            xt = jax.scipy.linalg.cho_solve((L, True), rhs)
+            zt = A @ xt
+            z_new = alpha * xt + (1 - alpha) * z
+            zz_arg = alpha * zt + (1 - alpha) * zz + y / rho_v
+            zz_new = jnp.clip(zz_arg, l, u)
+            y_new = y + rho_v * (alpha * zt + (1 - alpha) * zz - zz_new)
+            return z_new, zz_new, y_new
+
+        z, zz, y = jax.lax.fori_loop(0, adapt_every, step, (z, zz, y))
+
+        # residuals for rho adaptation
+        Az = A @ z
+        pr = jnp.max(jnp.abs(Az - zz)) if m else jnp.asarray(0.0, dtype)
+        dr = jnp.max(jnp.abs(P @ z + q + A.T @ y))
+        scale = jnp.sqrt(jnp.maximum(pr, 1e-30) / jnp.maximum(dr, 1e-30))
+        scale = jnp.clip(scale, 0.1, 10.0)
+        rho_new = jnp.clip(rho_v * scale, 1e-6, 1e6)
+        return (z, zz, y, rho_new), None
+
+    z0 = jnp.zeros(n, dtype)
+    zz0 = jnp.clip(jnp.zeros(m, dtype), l, u)
+    y0 = jnp.zeros(m, dtype)
+    rho_v0 = _rho_vec(l, u, jnp.asarray(rho, dtype))
+
+    n_stages = max(1, iters // adapt_every)
+    carry = (z0, zz0, y0, rho_v0)
+    for _ in range(n_stages):
+        carry, _ = stage(carry)
+    z, zz, y, _ = carry
+
+    if polish:
+        z, y = _polish(P, q, A, l, u, z, y)
+
+    Az = A @ z
+    viol = jnp.maximum(Az - u, 0.0) + jnp.maximum(l - Az, 0.0)
+    prim_res = jnp.max(viol) if m else jnp.asarray(0.0, dtype)
+    dual_res = jnp.max(jnp.abs(P @ z + q + A.T @ y))
+    obj = 0.5 * z @ (P @ z) + q @ z
+    ok = (prim_res <= 1e3 * eps ** 0.5) & jnp.all(jnp.isfinite(z))
+    return QPSolution(z, y, obj, prim_res, dual_res, ok)
+
+
+def _polish(P, q, A, l, u, z, y, delta: float = 1e-8, refine_steps: int = 3):
+    """Fixed-shape active-set polish (OSQP 'polish' analogue).
+
+    Active rows are detected from the ADMM dual signs; the equality-
+    constrained KKT system is solved with all rows present but inactive rows
+    disabled by a diagonal switch, keeping the shape static:
+
+        [ P + dI    A' D ] [x  ]   [ -q      ]
+        [ D A      -E    ] [nu ] = [ D b_act ]
+
+    with ``D = diag(active)`` and ``E = d*I + diag(1-active)`` so inactive
+    rows reduce to ``nu_i = 0``. A few iterative-refinement steps recover
+    accuracy lost to the regularization.
+    """
+    dtype = q.dtype
+    n = q.shape[0]
+    m = A.shape[0]
+
+    Az = A @ z
+    gap = jnp.maximum(u - l, 0.0)
+    tol = 1e-6 * (1.0 + jnp.abs(Az))
+    low_active = (y < -1e-10) | (Az <= l + tol)
+    upp_active = (y > 1e-10) | (Az >= u - tol)
+    is_eq = gap <= 1e-12
+    active = (low_active & jnp.isfinite(l)) | (upp_active & jnp.isfinite(u)) | is_eq
+    b_act = jnp.where(is_eq, l, jnp.where(upp_active & jnp.isfinite(u), u, l))
+    b_act = jnp.where(jnp.isfinite(b_act), b_act, 0.0)
+    act = active.astype(dtype)
+
+    DA = A * act[:, None]
+    K = jnp.block([
+        [P + delta * jnp.eye(n, dtype=dtype), DA.T],
+        [DA, -(delta * act + (1.0 - act)) * jnp.eye(m, dtype=dtype)],
+    ])
+    rhs = jnp.concatenate([-q, act * b_act])
+
+    lu, piv = jax.scipy.linalg.lu_factor(K)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    # iterative refinement against the *unregularized* KKT operator
+    def kkt_mv(v):
+        x, nu = v[:n], v[n:]
+        return jnp.concatenate([P @ x + DA.T @ nu, DA @ x - (1.0 - act) * nu])
+
+    for _ in range(refine_steps):
+        r = rhs - kkt_mv(sol)
+        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), r)
+
+    z_pol = sol[:n]
+    y_pol = act * sol[n:]
+
+    # accept polish only if it did not hurt feasibility/stationarity
+    def merit(zc, yc):
+        Azc = A @ zc
+        pr = jnp.max(jnp.maximum(Azc - u, 0.0) + jnp.maximum(l - Azc, 0.0)) if m else 0.0
+        dr = jnp.max(jnp.abs(P @ zc + q + A.T @ yc))
+        return pr + dr
+
+    better = (merit(z_pol, y_pol) <= merit(z, y)) & jnp.all(jnp.isfinite(z_pol))
+    z_out = jnp.where(better, z_pol, z)
+    y_out = jnp.where(better, y_pol, y)
+    return z_out, y_out

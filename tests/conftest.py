@@ -1,0 +1,30 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+Multi-chip sharding paths are validated on host CPU devices
+(``xla_force_host_platform_device_count``); real-TPU benchmarking happens in
+``bench.py`` instead. Must run before the first ``import jax``.
+"""
+
+import os
+
+# The session env presets JAX_PLATFORMS=axon (TPU tunnel) and a
+# sitecustomize pre-imports jax, so plain env vars are too late here —
+# jax.config.update is the effective switch.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    np.random.seed(1234)
