@@ -1,0 +1,862 @@
+"""Main trust-region algorithm: ``optimize`` as an on-device while-loop.
+
+Reference: ``src/algorithm.jl``. The Julia driver loop (``optimize`` ->
+``iterate!`` while CONTINUE, ``algorithm.jl:919-958``) becomes a pure
+``State -> State`` function under ``jax.lax.while_loop``: one compiled
+program runs the entire optimization on device, and ``jax.vmap`` over the
+initial state turns multistart/multi-problem fleets into batched dense
+algebra (see :mod:`morbit_tpu.parallel`).
+
+Control-flow fidelity (SURVEY.md §7 hard part 3): the reference's nested
+early exits and the criticality shrink loop (``algorithm.jl:523-613``) are
+flattened into ``lax.cond`` branches and an inner ``lax.while_loop`` with
+explicit exit flags; the ``ITER_TYPE`` classification tree
+(``algorithm.jl:820-863``) is reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morbit_tpu.core import database as dbm
+from morbit_tpu.core import filter as flt
+from morbit_tpu.core import scaling
+from morbit_tpu.core.config import AlgorithmConfig
+from morbit_tpu.core.descent import (
+    LinearizedConstraints,
+    PascolettiSerafiniConfig,
+    SteepestDescentConfig,
+    backtrack,
+    initial_stepsize,
+    normal_step,
+    resolve_descent_config,
+    steepest_descent_direction,
+)
+from morbit_tpu.core.enums import ITER_TYPE, RADIUS_UPDATE, STOP_CODE
+from morbit_tpu.core.mop import MOP, CompiledMOP, compile_mop
+from morbit_tpu.models.container import SurrogateContainer
+from morbit_tpu.ops.geometry import project_into_box
+
+
+class TrajectoryState(NamedTuple):
+    """Per-iteration stamps — the ``IterSaveable`` ring buffer
+    (``src/IterDataIterSaveable.jl:189-216``, stamped at
+    ``algorithm.jl:899-903``)."""
+
+    x: jax.Array           # (T, n) unscaled iterates
+    fx: jax.Array          # (T, m_obj)
+    delta: jax.Array       # (T,)
+    rho: jax.Array         # (T,)
+    omega: jax.Array       # (T,)
+    steplength: jax.Array  # (T,)
+    it_stat: jax.Array     # (T,) int32
+    count: jax.Array       # int32
+
+
+class SolverState(NamedTuple):
+    """Complete solver state (``IterData`` + databases + filter + stamps)."""
+
+    x: jax.Array        # (n,) unscaled iterate
+    x_s: jax.Array      # (n,) scaled iterate
+    fx: jax.Array       # (m_obj,)
+    l_e: jax.Array      # (p,) linear eq values  A~ x_s - b~
+    l_i: jax.Array      # (q,)
+    c_e: jax.Array      # (m_ce,)
+    c_i: jax.Array      # (m_ci,)
+    delta: jax.Array    # scalar
+    iter_counter: jax.Array
+    last_it_stat: jax.Array
+    stop_code: jax.Array
+    groups: tuple       # tuple[GroupState]
+    x_indices: jax.Array  # (G,) row of the iterate in each group db
+    filter: flt.FilterState
+    traj: TrajectoryState
+
+
+class OptimizeResult(NamedTuple):
+    x: jax.Array
+    fx: jax.Array
+    stop_code: jax.Array
+    n_iterations: jax.Array
+    n_evals: jax.Array
+    state: SolverState
+
+
+class Solver:
+    """Static solver object: compiles the problem and builds jittable
+    ``initialize`` / ``iterate`` / ``solve`` functions."""
+
+    def __init__(self, mop: CompiledMOP, ac: Optional[AlgorithmConfig] = None,
+                 dtype=jnp.float64):
+        self.mop = mop
+        self.ac = ac or AlgorithmConfig()
+        self.dtype = dtype
+        ac = self.ac
+
+        lb = jnp.asarray(mop.lb, dtype)
+        ub = jnp.asarray(mop.ub, dtype)
+        self.scal = scaling.get_var_scaler(lb, ub, ac.var_scaler)
+
+        # linear constraints transformed to scaled space
+        # (``transformed_linear_constraints``, ``AbstractMOPInterface.jl:476``):
+        # A x - b = A D^-1 x_s - (b + A D^-1 t)
+        inv_s = 1.0 / self.scal.scale
+        self.A_eq_s = jnp.asarray(mop.A_eq, dtype) * inv_s[None, :]
+        self.b_eq_s = jnp.asarray(mop.b_eq, dtype) + self.A_eq_s @ self.scal.offset
+        self.A_ineq_s = jnp.asarray(mop.A_ineq, dtype) * inv_s[None, :]
+        self.b_ineq_s = jnp.asarray(mop.b_ineq, dtype) + self.A_ineq_s @ self.scal.offset
+
+        max_model_pts = max(
+            [g.cfg.resolved_max_points(mop.n_vars)
+             for g in mop.groups if hasattr(g.cfg, "resolved_max_points")],
+            default=mop.n_vars + 1,
+        )
+        self.db_capacity = ac.resolved_db_capacity(mop.n_vars, max_model_pts)
+        self.container = SurrogateContainer(mop, dtype, ac, self.scal, self.db_capacity)
+
+        self.desc_cfg = resolve_descent_config(ac.descent_method)
+        if not isinstance(self.desc_cfg, SteepestDescentConfig):
+            raise NotImplementedError(
+                "only steepest descent is wired up so far; PS lands next")
+
+        self.filter_mode = "dummy" if mop.m_ce + mop.m_ci == 0 else ac.filter_type
+        self.f_dim = mop.m_obj if self.filter_mode == "strict" else 1
+        self.has_constraints = mop.has_nl_constraints or mop.has_lin_constraints
+        self.T = ac.resolved_trajectory_capacity()
+
+    # ------------------------------------------------------------------ helpers
+    def _linear_values(self, x_s):
+        l_e = self.A_eq_s @ x_s - self.b_eq_s
+        l_i = self.A_ineq_s @ x_s - self.b_ineq_s
+        return l_e, l_i
+
+    def _theta(self, st_or_vals):
+        if isinstance(st_or_vals, SolverState):
+            vals = (st_or_vals.l_e, st_or_vals.l_i, st_or_vals.c_e, st_or_vals.c_i)
+        else:
+            vals = st_or_vals
+        return flt.compute_constraint_val(*vals)
+
+    def _filter_objective(self, fx):
+        mode = "max" if self.filter_mode in ("max", "dummy") else "strict"
+        return flt.compute_objective_val(fx, mode)
+
+    def _violation_zero(self, theta):
+        """``constraint_violation_is_zero`` (``utilities.jl:335-342``)."""
+        eps = jnp.finfo(self.dtype).eps
+        return jnp.abs(theta) <= 10 * eps
+
+    def _stamp(self, traj: TrajectoryState, x, fx, delta, rho, omega, steplength,
+               it_stat) -> TrajectoryState:
+        slot = jnp.clip(traj.count, 0, self.T - 1)
+        ok = traj.count < self.T
+        upd = lambda buf, v: jnp.where(ok, buf.at[slot].set(v), buf)
+        return TrajectoryState(
+            x=upd(traj.x, x), fx=upd(traj.fx, fx), delta=upd(traj.delta, delta),
+            rho=upd(traj.rho, rho), omega=upd(traj.omega, omega),
+            steplength=upd(traj.steplength, steplength),
+            it_stat=upd(traj.it_stat, jnp.asarray(it_stat, jnp.int32)),
+            count=traj.count + 1,
+        )
+
+    def _total_evals(self, groups):
+        return sum(st.n_evals for st in groups)
+
+    # -------------------------------------------------- criticality computation
+    def _linearized_constraints_at(self, groups, x_s, x_n_s, l_e_n, l_i_n):
+        """Rows for the descent LP at x+n (``descent.jl:199-236``): true
+        linear constraints with RHS -l(x_n); surrogate linearizations of the
+        nonlinear constraints around x, shifted to x_n."""
+        dtype = self.dtype
+        n_step = x_n_s - x_s
+        parts_Ae, parts_be = [self.A_eq_s], [-l_e_n]
+        parts_Ai, parts_bi = [self.A_ineq_s], [-l_i_n]
+        if self.mop.m_ce > 0:
+            Dm_e = self.container.jac_nl_eq(groups, x_s)
+            m_e, _ = self.container.eval_nl_eq(groups, x_n_s)
+            parts_Ae.append(Dm_e)
+            parts_be.append(-m_e - Dm_e @ n_step)
+        if self.mop.m_ci > 0:
+            Dm_i = self.container.jac_nl_ineq(groups, x_s)
+            m_i, _ = self.container.eval_nl_ineq(groups, x_n_s)
+            parts_Ai.append(Dm_i)
+            parts_bi.append(-m_i - Dm_i @ n_step)
+        return LinearizedConstraints(
+            A_eq=jnp.concatenate(parts_Ae, axis=0),
+            b_eq=jnp.concatenate(parts_be),
+            A_ineq=jnp.concatenate(parts_Ai, axis=0),
+            b_ineq=jnp.concatenate(parts_bi),
+        )
+
+    def _get_criticality(self, groups, x_s, x_n_s, l_e_n, l_i_n):
+        """``get_criticality`` for steepest descent (``descent.jl:187-241``)."""
+        Dm = self.container.jac_objectives(groups, x_n_s)
+        lin = self._linearized_constraints_at(groups, x_s, x_n_s, l_e_n, l_i_n)
+        d, omega = steepest_descent_direction(
+            x_n_s, Dm, self.scal.lb_scaled, self.scal.ub_scaled, lin,
+            normalize=self.desc_cfg.normalize, qp_iters=self.ac.qp_iters)
+        return omega, d
+
+    # ------------------------------------------------------------- initialization
+    def initialize(self, x0) -> SolverState:
+        """``initialize_data`` (``algorithm.jl:223-323``)."""
+        mop = self.mop
+        dtype = self.dtype
+        x0 = jnp.asarray(x0, dtype)
+        lb = jnp.asarray(mop.lb, dtype)
+        ub = jnp.asarray(mop.ub, dtype)
+        x = project_into_box(x0, lb, ub)
+        x_s = scaling.transform(self.scal, x)
+
+        groups = self.container.init_group_states()
+        fx, c_e, c_i, groups, x_indices = self.container.evaluate_true(groups, x_s)
+        l_e, l_i = self._linear_values(x_s)
+        delta0 = jnp.asarray(self.ac.delta_0, dtype)
+
+        filt = flt.init_filter(self.ac.filter_capacity, self.f_dim, dtype)
+
+        T = self.T
+        traj = TrajectoryState(
+            x=jnp.zeros((T, mop.n_vars), dtype),
+            fx=jnp.zeros((T, mop.m_obj), dtype),
+            delta=jnp.zeros((T,), dtype),
+            rho=jnp.zeros((T,), dtype),
+            omega=jnp.zeros((T,), dtype),
+            steplength=jnp.zeros((T,), dtype),
+            it_stat=jnp.zeros((T,), jnp.int32),
+            count=jnp.asarray(0, jnp.int32),
+        )
+        traj = self._stamp(traj, x, fx, delta0, -jnp.inf, -jnp.inf, -jnp.inf,
+                           ITER_TYPE.INITIALIZATION)
+
+        # initial surrogates (``init_surrogates``; RBF defaults to
+        # ensure_fully_linear=true on init, ``RbfModel.jl:506-513``)
+        groups = self.container.update(groups, x_s, x_indices, delta0,
+                                       ensure_fully_linear=True)
+
+        return SolverState(
+            x=x, x_s=x_s, fx=fx, l_e=l_e, l_i=l_i, c_e=c_e, c_i=c_i,
+            delta=delta0,
+            iter_counter=jnp.asarray(1, jnp.int32),
+            last_it_stat=jnp.asarray(ITER_TYPE.ACCEPTABLE, jnp.int32),
+            stop_code=jnp.asarray(STOP_CODE.CONTINUE, jnp.int32),
+            groups=groups, x_indices=x_indices, filter=filt, traj=traj,
+        )
+
+    # ------------------------------------------------------------------ stopping
+    def _tol_tests(self, x, x_t, fx, fx_t):
+        """Relative/absolute x/f stopping tests (``algorithm.jl:14-56``)."""
+        ac = self.ac
+        inf_norm = lambda v: jnp.max(jnp.abs(v)) if v.shape[0] else jnp.asarray(0.0, self.dtype)
+        fr = inf_norm(fx - fx_t) <= ac.f_tol_rel * inf_norm(fx)
+        xr = inf_norm(x - x_t) <= ac.x_tol_rel * inf_norm(x)
+        fa = inf_norm(fx - fx_t) <= ac.f_tol_abs
+        xa = inf_norm(x - x_t) <= ac.x_tol_abs
+        return fr | xr | fa | xa
+
+    def _omega_tests(self, omega, delta):
+        """``ω_Δ_rel_test`` + ``ω_abs_test`` (``algorithm.jl:58-78``)."""
+        ac = self.ac
+        rel = (omega <= ac.omega_tol_rel) & (delta <= ac.delta_tol_rel)
+        return rel | (omega <= ac.omega_tol_abs)
+
+    # ------------------------------------------------------------- radius update
+    def _apply_radius_update(self, update_code, delta, steplength):
+        """``do_radius_update`` (``algorithm.jl:140-196``)."""
+        ac = self.ac
+        if ac.radius_update_method == "standard":
+            grow = jnp.minimum(ac.delta_max, ac.gamma_grow * delta)
+            shrink = delta * ac.gamma_shrink
+            shrink_much = delta * ac.gamma_shrink_much
+        else:  # 'steplength'
+            grow = jnp.minimum(ac.delta_max, (ac.gamma_grow + steplength / delta) * delta)
+            shrink = steplength * ac.gamma_shrink
+            shrink_much = steplength * ac.gamma_shrink_much
+        return jnp.select(
+            [update_code == RADIUS_UPDATE.GROW,
+             update_code == RADIUS_UPDATE.SHRINK,
+             update_code == RADIUS_UPDATE.SHRINK_MUCH],
+            [grow, shrink, shrink_much],
+            delta,
+        )
+
+    # ------------------------------------------------------------ one iteration
+    def iterate(self, state: SolverState) -> SolverState:
+        """``iterate!`` (``algorithm.jl:615-917``)."""
+        ac = self.ac
+        # pre-checks (``algorithm.jl:628-640``)
+        stop = jnp.where(
+            state.iter_counter > ac.max_iter, STOP_CODE.MAX_ITER,
+            jnp.where(
+                self.container.budget_exhausted(state.groups),
+                STOP_CODE.BUDGET_EXHAUSTED,
+                jnp.where(state.delta <= ac.delta_tol_abs, STOP_CODE.TOLERANCE,
+                          STOP_CODE.CONTINUE)))
+        return jax.lax.cond(
+            stop == STOP_CODE.CONTINUE,
+            self._iterate_inner,
+            lambda s: s._replace(stop_code=stop.astype(jnp.int32)),
+            state,
+        )
+
+    def _iterate_inner(self, state: SolverState) -> SolverState:
+        ac = self.ac
+        dtype = self.dtype
+        x_s = state.x_s
+        fx = state.fx
+
+        # ---- surrogate update (``algorithm.jl:682-688``)
+        def do_update(groups):
+            return self.container.update(groups, x_s, state.x_indices,
+                                         state.delta, ensure_fully_linear=False)
+
+        def do_improve(groups):
+            return self.container.improve(groups, x_s, state.x_indices, state.delta)
+
+        groups = jax.lax.cond(
+            state.iter_counter > 1,
+            lambda g: jax.lax.cond(
+                state.last_it_stat == ITER_TYPE.MODELIMPROVING,
+                do_improve, do_update, g),
+            lambda g: g,
+            state.groups,
+        )
+        state = state._replace(groups=groups)
+
+        theta_k = self._theta(state)
+
+        if self.has_constraints:
+            return self._constrained_phase(state, theta_k)
+        return self._main_phase(state, state, theta_k, theta_k)
+
+    # ---------------------------------------------------------------- phase A
+    def _constrained_phase(self, state: SolverState, theta_k) -> SolverState:
+        """Normal step / restoration dispatch (``find_normal_step``,
+        ``algorithm.jl:406-521``)."""
+        need_normal = ~self._violation_zero(theta_k)
+
+        def no_normal(state):
+            return self._main_phase(state, state, theta_k, theta_k)
+
+        def with_normal(state):
+            return self._normal_step_flow(state, theta_k)
+
+        return jax.lax.cond(need_normal, with_normal, no_normal, state)
+
+    def _normal_step_flow(self, state: SolverState, theta_k) -> SolverState:
+        ac = self.ac
+        dtype = self.dtype
+        x_s = state.x_s
+        groups = state.groups
+
+        lin = self._linearized_constraints_at(groups, x_s, x_s, state.l_e, state.l_i)
+        variable_radius = state.last_it_stat == ITER_TYPE.RESTORATION
+        n_step, delta_n, feasible = normal_step(
+            x_s, self.scal.lb_scaled, self.scal.ub_scaled, lin,
+            ac.filter_kappa_delta, ac.delta_max, state.delta, variable_radius,
+            qp_iters=ac.qp_iters)
+
+        # compatibility test (``is_compatible``, ``algorithm.jl:131-137``)
+        norm_n = jnp.max(jnp.abs(jnp.where(jnp.isnan(n_step), jnp.inf, n_step)))
+        compatible = feasible & (
+            norm_n <= ac.filter_kappa_delta * delta_n
+            * jnp.minimum(1.0, ac.filter_kappa_mu * delta_n ** ac.filter_mu))
+
+        def compatible_branch(state):
+            # radius may have been increased for compatibility (``:461-467``)
+            changed = ~jnp.isclose(delta_n, state.delta)
+            groups2 = jax.tree_util.tree_map(lambda a: a, state.groups)
+            groups2 = jax.lax.cond(
+                changed,
+                lambda g: self.container.set_fully_linear(g, False),
+                lambda g: g, groups2)
+            x_n_s = state.x_s + jnp.nan_to_num(n_step)
+            fx_n, c_e_n, c_i_n, groups3, idx_n = self.container.evaluate_true(
+                groups2, x_n_s)
+            l_e_n, l_i_n = self._linear_values(x_n_s)
+            state_n = state._replace(
+                groups=groups3, delta=jnp.where(changed, delta_n, state.delta))
+            inter = state_n._replace(
+                x=scaling.untransform(self.scal, x_n_s), x_s=x_n_s, fx=fx_n,
+                l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n, x_indices=idx_n)
+            theta_n = self._theta(inter)
+            return self._main_phase(state_n, inter, theta_k, theta_n)
+
+        def incompatible_branch(state):
+            last_restoration = state.last_it_stat == ITER_TYPE.RESTORATION
+            if self.mop.has_nl_constraints:
+                return jax.lax.cond(
+                    last_restoration,
+                    lambda s: self._finish_early(s, STOP_CODE.INFEASIBLE),
+                    lambda s: self._restoration(s, theta_k, n_step),
+                    state)
+            # linearly constrained only: use n itself for restoration (``:447-452``)
+            n_ok = feasible & jnp.all(jnp.isfinite(n_step))
+
+            def linear_restoration(s):
+                x_n_s = s.x_s + jnp.nan_to_num(n_step)
+                fx_n, c_e_n, c_i_n, g3, idx_n = self.container.evaluate_true(
+                    s.groups, x_n_s)
+                l_e_n, l_i_n = self._linear_values(x_n_s)
+                nxt = s._replace(
+                    x=scaling.untransform(self.scal, x_n_s), x_s=x_n_s, fx=fx_n,
+                    l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n,
+                    groups=g3, x_indices=idx_n)
+                return self._finish_restoration(nxt)
+
+            return jax.lax.cond(
+                n_ok & (~last_restoration),
+                linear_restoration,
+                lambda s: self._finish_early(s, STOP_CODE.INFEASIBLE),
+                state)
+
+        return jax.lax.cond(compatible, compatible_branch, incompatible_branch, state)
+
+    def _restoration(self, state: SolverState, theta_k, r_guess) -> SolverState:
+        """Nonlinear restoration (``restoration``, ``algorithm.jl:325-404``).
+
+        The NLopt COBYLA solve on the true constraints is replaced by
+        multistart projected gradient descent on the constraint violation
+        (smooth subgradients via autodiff; SURVEY.md §7 hard part 4). The
+        filter gets the current iterate as an entry first (``:470-471``)."""
+        ac = self.ac
+        dtype = self.dtype
+        filt = flt.add_entry(state.filter, theta_k,
+                             self._filter_objective(state.fx),
+                             jnp.asarray(ac.filter_shift, dtype))
+        state = state._replace(filter=filt)
+
+        lb = jnp.asarray(self.mop.lb, dtype)
+        ub = jnp.asarray(self.mop.ub, dtype)
+        x = state.x
+
+        def theta_of(xi):
+            c_es, c_is = [], []
+            for g in self.mop.groups:
+                vals = g.eval_unscaled(xi)
+                for mb in g.members:
+                    part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
+                    if mb.role == "nl_eq":
+                        c_es.append(part)
+                    elif mb.role == "nl_ineq":
+                        c_is.append(part)
+            c_e = jnp.concatenate(c_es) if c_es else jnp.zeros((0,), dtype)
+            c_i = jnp.concatenate(c_is) if c_is else jnp.zeros((0,), dtype)
+            l_e = jnp.asarray(self.mop.A_eq, dtype) @ xi - jnp.asarray(self.mop.b_eq, dtype)
+            l_i = jnp.asarray(self.mop.A_ineq, dtype) @ xi - jnp.asarray(self.mop.b_ineq, dtype)
+            return flt.compute_constraint_val(l_e, l_i, c_e, c_i)
+
+        # smooth merit: squared hinge violations (differentiable a.e.)
+        def merit(xi):
+            terms = []
+            for g in self.mop.groups:
+                vals = g.eval_unscaled(xi)
+                for mb in g.members:
+                    part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
+                    if mb.role == "nl_eq":
+                        terms.append(jnp.sum(part ** 2))
+                    elif mb.role == "nl_ineq":
+                        terms.append(jnp.sum(jnp.maximum(part, 0.0) ** 2))
+            l_e = jnp.asarray(self.mop.A_eq, dtype) @ xi - jnp.asarray(self.mop.b_eq, dtype)
+            l_i = jnp.asarray(self.mop.A_ineq, dtype) @ xi - jnp.asarray(self.mop.b_ineq, dtype)
+            terms.append(jnp.sum(l_e ** 2))
+            terms.append(jnp.sum(jnp.maximum(l_i, 0.0) ** 2))
+            return sum(terms) if terms else jnp.asarray(0.0, dtype)
+
+        r0 = jnp.where(jnp.any(jnp.isnan(r_guess)), jnp.zeros_like(x),
+                       jnp.nan_to_num(r_guess) / jnp.maximum(self.scal.scale, 1e-30))
+        xi0 = project_into_box(x + r0, lb, ub)
+
+        grad = jax.grad(merit)
+        width = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
+
+        def gd_body(i, xi):
+            g = grad(xi)
+            gn = jnp.max(jnp.abs(g))
+            step = jnp.where(gn > 0, 0.1 * jnp.min(width) / gn, 0.0)
+            return project_into_box(xi - step * g, lb, ub)
+
+        n_iters = 60
+        x_r = jax.lax.fori_loop(0, n_iters, gd_body, xi0)
+
+        # count the restoration evaluations on nl-constraint groups
+        # (``dont_count!`` is only used when max_restoration_evals > 0)
+        groups = state.groups
+        if ac.max_restoration_evals <= 0:
+            new_groups = []
+            for g, st in zip(self.mop.groups, groups):
+                roles = {mb.role for mb in g.members}
+                if "nl_eq" in roles or "nl_ineq" in roles:
+                    st = st._replace(n_evals=st.n_evals + n_iters)
+                new_groups.append(st)
+            groups = tuple(new_groups)
+            state = state._replace(groups=groups)
+
+        theta_r = theta_of(x_r)
+        x_r_s = scaling.transform(self.scal, x_r)
+        fx_r, c_e_r, c_i_r, groups, idx_r = self.container.evaluate_true(
+            state.groups, x_r_s)
+        l_e_r, l_i_r = self._linear_values(x_r_s)
+        acceptable = flt.is_acceptable(
+            state.filter, theta_r, self._filter_objective(fx_r))
+
+        def accept(s):
+            nxt = s._replace(
+                x=x_r, x_s=x_r_s, fx=fx_r, l_e=l_e_r, l_i=l_i_r,
+                c_e=c_e_r, c_i=c_i_r, groups=groups, x_indices=idx_r)
+            return self._finish_restoration(nxt)
+
+        return jax.lax.cond(
+            acceptable, accept,
+            lambda s: self._finish_early(s._replace(groups=groups),
+                                         STOP_CODE.INFEASIBLE),
+            state)
+
+    def _finish_restoration(self, state: SolverState) -> SolverState:
+        """Stamp + return CONTINUE with it_stat=RESTORATION
+        (``algorithm.jl:702-709``)."""
+        traj = self._stamp(state.traj, state.x, state.fx, state.delta,
+                           -jnp.inf, -jnp.inf, -jnp.inf, ITER_TYPE.RESTORATION)
+        return state._replace(
+            traj=traj,
+            last_it_stat=jnp.asarray(ITER_TYPE.RESTORATION, jnp.int32),
+            iter_counter=state.iter_counter + 1,
+        )
+
+    def _finish_early(self, state: SolverState, code) -> SolverState:
+        return state._replace(
+            stop_code=jnp.asarray(code, jnp.int32),
+            last_it_stat=jnp.asarray(ITER_TYPE.EARLY_EXIT, jnp.int32),
+            iter_counter=state.iter_counter + 1,
+        )
+
+    # ---------------------------------------------------------------- main phase
+    def _main_phase(self, state: SolverState, inter: SolverState,
+                    theta_k, theta_n) -> SolverState:
+        """Criticality + trial point + acceptance. ``state`` is the current
+        iterate's bundle, ``inter`` is x+n's bundle (identical objects when no
+        normal step was taken)."""
+        ac = self.ac
+        dtype = self.dtype
+
+        omega, d = self._get_criticality(
+            inter.groups, state.x_s, inter.x_s, inter.l_e, inter.l_i)
+
+        theta_n_zero = self._violation_zero(theta_n)
+        theta_k_zero = self._violation_zero(theta_k)
+
+        # early CRITICAL exit (``algorithm.jl:728-732``)
+        crit_exit = theta_n_zero & self._omega_tests(omega, state.delta)
+
+        def early_exit(args):
+            state, inter, omega, d = args
+            # return iterate = x+n bundle
+            out = inter._replace(delta=state.delta)
+            return self._finish_early(out, STOP_CODE.CRITICAL)
+
+        def continue_iter(args):
+            state, inter, omega, d = args
+            return self._criticality_and_trial(state, inter, theta_k, theta_n,
+                                               theta_k_zero, omega, d)
+
+        return jax.lax.cond(crit_exit, early_exit, continue_iter,
+                            (state, inter, omega, d))
+
+    def _criticality_and_trial(self, state, inter, theta_k, theta_n,
+                               theta_k_zero, omega, d):
+        ac = self.ac
+        dtype = self.dtype
+        mu = jnp.asarray(ac.mu, dtype)
+        beta = jnp.asarray(max(ac.beta, ac.mu), dtype)
+        gamma_c = jnp.asarray(ac.gamma_crit, dtype)
+
+        fully_lin = self.container.fully_linear(inter.groups)
+        enter_crit = theta_k_zero & (omega <= ac.eps_crit) & (
+            (~fully_lin) | (state.delta > mu * omega))
+
+        def crit_routine(args):
+            """``criticality_routine`` (``algorithm.jl:523-613``)."""
+            state, inter, omega, d = args
+            groups = inter.groups
+            delta0 = state.delta
+
+            # ensure fully linear once if needed
+            def make_fl(args):
+                groups, omega, d = args
+                groups = self.container.update(
+                    groups, inter.x_s, inter.x_indices, delta0,
+                    ensure_fully_linear=True)
+                omega, d = self._get_criticality(
+                    groups, state.x_s, inter.x_s, inter.l_e, inter.l_i)
+                do_loops = jnp.where(
+                    self.container.fully_linear(groups),
+                    delta0 > mu * omega, False)
+                return groups, omega, d, do_loops
+
+            def already_fl(args):
+                groups, omega, d = args
+                return groups, omega, d, jnp.asarray(True)
+
+            groups, omega, d, do_loops = jax.lax.cond(
+                fully_lin, already_fl, make_fl, (groups, omega, d))
+
+            def loop_cond(carry):
+                groups, delta, omega, d, n_loops, exit_c, done = carry
+                return (~done) & (delta > mu * omega)
+
+            def loop_body(carry):
+                groups, delta, omega, d, n_loops, exit_c, done = carry
+                stop_now = (n_loops >= ac.max_critical_loops) | \
+                    self.container.budget_exhausted(groups)
+
+                def halt(c):
+                    groups, delta, omega, d, n_loops, exit_c, done = c
+                    return (groups, delta, omega, d, n_loops,
+                            jnp.asarray(True), jnp.asarray(True))
+
+                def work(c):
+                    groups, delta, omega, d, n_loops, exit_c, done = c
+                    delta = gamma_c * delta
+                    groups = self.container.update(
+                        groups, inter.x_s, inter.x_indices, delta,
+                        ensure_fully_linear=True)
+                    omega, d = self._get_criticality(
+                        groups, state.x_s, inter.x_s, inter.l_e, inter.l_i)
+                    tol_exit = (delta <= ac.delta_tol_abs) | \
+                        self._omega_tests(omega, delta) | \
+                        (~self.container.fully_linear(groups))
+                    return (groups, delta, omega, d, n_loops + 1,
+                            tol_exit, tol_exit)
+
+                return jax.lax.cond(stop_now, halt, work, carry)
+
+            init = (groups, delta0, omega, d, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(False), ~do_loops)
+            groups, delta, omega, d, _, exit_c, _ = jax.lax.while_loop(
+                loop_cond, loop_body, init)
+
+            # Delta update only applies when loops were entered (``:605``)
+            delta_new = jnp.where(
+                do_loops,
+                jnp.minimum(delta0, jnp.maximum(beta * omega, delta)),
+                state.delta)
+            exit_c = exit_c & do_loops
+            return groups, delta_new, omega, d, exit_c
+
+        def no_crit(args):
+            state, inter, omega, d = args
+            return inter.groups, state.delta, omega, d, jnp.asarray(False)
+
+        groups, delta, omega, d, exit_critical = jax.lax.cond(
+            enter_crit, crit_routine, no_crit, (state, inter, omega, d))
+
+        state = state._replace(groups=groups, delta=delta)
+        inter = inter._replace(groups=groups, delta=delta)
+
+        def crit_exit_branch(args):
+            state, inter, omega, d = args
+            return self._finish_early(inter, STOP_CODE.CRITICAL)
+
+        def trial_branch(args):
+            state, inter, omega, d = args
+            return self._trial_point(state, inter, theta_k, omega, d)
+
+        return jax.lax.cond(exit_critical, crit_exit_branch, trial_branch,
+                            (state, inter, omega, d))
+
+    # ------------------------------------------------------------- trial point
+    def _trial_point(self, state, inter, theta_k, omega, d):
+        """Descent step, true evaluation, acceptance tests, radius update
+        (``algorithm.jl:748-914``)."""
+        ac = self.ac
+        dtype = self.dtype
+        x_s = state.x_s
+        x_n_s = inter.x_s
+        groups = inter.groups
+
+        # ---- initial stepsize + backtracking (``compute_descent_step``)
+        sigma = initial_stepsize(x_s, x_n_s, d, state.delta,
+                                 self.scal.lb_scaled, self.scal.ub_scaled, dtype)
+
+        def eval_mx(groups, xq):
+            return self.container.eval_objectives(groups, xq)
+
+        x_trial_s, mx_trial_bt, step, groups = backtrack(
+            x_n_s, d, sigma, omega, eval_mx, groups, self.desc_cfg)
+        # degenerate stepsize -> stay (``descent.jl:312-317``)
+        usable = sigma > self.desc_cfg.min_stepsize
+        x_trial_s = jnp.where(usable, x_trial_s, x_n_s)
+        omega = jnp.where(usable, omega, 0.0)
+
+        x_trial = scaling.untransform(self.scal, x_trial_s)
+
+        # ---- true evaluation at trial point (``algorithm.jl:760-764``)
+        fx_t, c_e_t, c_i_t, groups, idx_t = self.container.evaluate_true(
+            groups, x_trial_s)
+        l_e_t, l_i_t = self._linear_values(x_trial_s)
+
+        # ---- fresh surrogate values at x and x_trial (``:766-767``)
+        mx, groups = self.container.eval_objectives(groups, x_s)
+        mx_t, groups = self.container.eval_objectives(groups, x_trial_s)
+
+        theta_t = flt.compute_constraint_val(l_e_t, l_i_t, c_e_t, c_i_t)
+        f_t_filter = self._filter_objective(fx_t)
+        steplength = jnp.max(jnp.abs(x_s - x_trial_s))
+
+        # ---- acceptance tests (``:779-863``)
+        shift = jnp.asarray(ac.filter_shift, dtype)
+        if self.filter_mode == "dummy":
+            acceptable_filter = jnp.asarray(True)
+        else:
+            acceptable_filter = flt.is_acceptable_vs(
+                state.filter, theta_t, f_t_filter, theta_k,
+                self._filter_objective(state.fx), shift)
+
+        if ac.strict_acceptance_test:
+            denom = mx - mx_t
+            any_zero = jnp.any(denom == 0)
+            rho_raw = jnp.min((state.fx - fx_t) / jnp.where(denom == 0, 1.0, denom))
+            rho_raw = jnp.where(any_zero, jnp.nan, rho_raw)
+        else:
+            denom = (jnp.max(mx) - jnp.max(mx_t))[None]
+            rho_raw = (jnp.max(state.fx) - jnp.max(fx_t)) / denom[0]
+        good_decrease = acceptable_filter & jnp.all(
+            denom >= ac.filter_kappa_psi * theta_k ** ac.filter_psi)
+        rho_raw = jnp.where(acceptable_filter, rho_raw, jnp.nan)
+        rho = jnp.where(jnp.isnan(rho_raw), -jnp.inf, rho_raw)
+
+        fully_lin = self.container.fully_linear(groups)
+        nu_s, nu_a = ac.nu_success, ac.nu_accept
+
+        # classification tree (``:820-863``)
+        IT = ITER_TYPE
+        RU = RADIUS_UPDATE
+        cls_success = (rho >= nu_s)
+        it_stat = jnp.where(
+            acceptable_filter,
+            jnp.where(
+                good_decrease,
+                jnp.where(
+                    cls_success, IT.SUCCESSFULL,
+                    jnp.where(
+                        fully_lin,
+                        jnp.where(rho >= nu_a, IT.ACCEPTABLE, IT.INACCEPTABLE),
+                        IT.MODELIMPROVING)),
+                IT.FILTER_ADD),
+            IT.FILTER_FAIL).astype(jnp.int32)
+        accept = jnp.where(
+            acceptable_filter,
+            jnp.where(
+                good_decrease,
+                jnp.where(
+                    cls_success, True,
+                    jnp.where(fully_lin, rho >= nu_a, False)),
+                True),
+            False)
+        radius_update = jnp.where(
+            acceptable_filter,
+            jnp.where(
+                good_decrease,
+                jnp.where(
+                    cls_success,
+                    jnp.where(state.delta < jnp.asarray(max(ac.beta, ac.mu), dtype)
+                              * omega, RU.GROW, RU.LEAVE_UNCHANGED),
+                    jnp.where(
+                        fully_lin,
+                        jnp.where(rho >= nu_a, RU.SHRINK, RU.SHRINK_MUCH),
+                        RU.LEAVE_UNCHANGED)),
+                jnp.where(cls_success, RU.GROW, RU.LEAVE_UNCHANGED)),
+            RU.SHRINK_MUCH).astype(jnp.int32)
+
+        # ---- filter add (``:875-877``)
+        if self.filter_mode != "dummy":
+            filt = jax.lax.cond(
+                it_stat == IT.FILTER_ADD,
+                lambda f: flt.add_entry(f, theta_t, f_t_filter, shift),
+                lambda f: f, state.filter)
+        else:
+            filt = state.filter
+
+        delta_new = self._apply_radius_update(radius_update, state.delta, steplength)
+
+        # ---- next iterate (``:881-888``)
+        w = lambda a, b: jnp.where(accept, a, b)
+        next_state = inter._replace(
+            x=w(x_trial, inter.x),
+            x_s=w(x_trial_s, inter.x_s),
+            fx=w(fx_t, inter.fx),
+            l_e=w(l_e_t, inter.l_e), l_i=w(l_i_t, inter.l_i),
+            c_e=w(c_e_t, inter.c_e), c_i=w(c_i_t, inter.c_i),
+            x_indices=jnp.where(accept, idx_t, inter.x_indices),
+            delta=delta_new,
+            groups=groups,
+            filter=filt,
+        )
+
+        # ---- stamp (``:899-903``)
+        traj = self._stamp(next_state.traj, next_state.x, next_state.fx,
+                           delta_new, rho, omega, steplength, 0)
+        traj = traj._replace(it_stat=traj.it_stat.at[
+            jnp.clip(traj.count - 1, 0, self.T - 1)].set(it_stat))
+        next_state = next_state._replace(traj=traj)
+
+        # ---- stopping tests (``:868-872`` + ``:905-914``)
+        stepnorm_stop = (~accept) & (steplength <= ac.stepnorm_tol_abs)
+        tol_stop = accept & self._tol_tests(state.x, x_trial, state.fx, fx_t)
+        stop_code = jnp.where(
+            stepnorm_stop | tol_stop, STOP_CODE.TOLERANCE, STOP_CODE.CONTINUE)
+
+        return next_state._replace(
+            stop_code=stop_code.astype(jnp.int32),
+            last_it_stat=it_stat,
+            iter_counter=state.iter_counter + 1,
+        )
+
+    # ---------------------------------------------------------------- top level
+    def solve_from_state(self, state: SolverState) -> SolverState:
+        return jax.lax.while_loop(
+            lambda s: s.stop_code == STOP_CODE.CONTINUE,
+            self.iterate,
+            state,
+        )
+
+    def solve(self, x0) -> OptimizeResult:
+        state = self.initialize(x0)
+        state = self.solve_from_state(state)
+        return OptimizeResult(
+            x=state.x, fx=state.fx, stop_code=state.stop_code,
+            n_iterations=state.iter_counter - 1,
+            n_evals=self._total_evals(state.groups),
+            state=state,
+        )
+
+
+def initialize_state(mop, x0, algo_config=None, dtype=jnp.float64):
+    if isinstance(mop, MOP):
+        mop = compile_mop(mop, (algo_config or AlgorithmConfig()).combine_models)
+    solver = Solver(mop, algo_config, dtype)
+    return solver, solver.initialize(jnp.asarray(x0, dtype))
+
+
+def optimize(mop, x0, algo_config: Optional[AlgorithmConfig] = None,
+             dtype=jnp.float64, jit: bool = True, **kwargs) -> OptimizeResult:
+    """``optimize(mop, x0; ...)`` (``algorithm.jl:919-958``).
+
+    Extra keyword arguments are promoted into the config like the
+    reference's kwargs-to-config path (``algorithm.jl:198-221``).
+    """
+    if algo_config is None:
+        algo_config = AlgorithmConfig(**kwargs)
+    elif kwargs:
+        algo_config = dataclasses.replace(algo_config, **kwargs)
+    cmop = mop if isinstance(mop, CompiledMOP) else compile_mop(
+        mop, algo_config.combine_models)
+    solver = Solver(cmop, algo_config, dtype)
+    fn = jax.jit(solver.solve) if jit else solver.solve
+    return fn(jnp.asarray(x0, dtype))

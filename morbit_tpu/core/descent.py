@@ -1,0 +1,290 @@
+"""Trust-region subproblem solvers: criticality, descent step, normal step.
+
+Reference: ``src/descent.jl``. The multiobjective steepest-descent direction
+is the min-max LP (``descent.jl:74-135``)
+
+    min_{beta, d}  beta   s.t.  Df d <= beta * ||rows||,  -1 <= d <= 1,
+                               lb <= x + d <= ub,  A_eq d = b_eq,  A_ineq d <= b_ineq
+
+solved with the batched ADMM+polish QP kernel (:mod:`morbit_tpu.ops.qp`)
+instead of JuMP+OSQP; the criticality measure is ``omega = -beta``.
+Backtracking (``descent.jl:137-185``) is a ``lax.while_loop`` over surrogate
+evaluations. The min-inf-norm normal step (``descent.jl:691-758``) is the
+same LP reformulated with an epigraph variable; LP infeasibility is signalled
+by NaN (triggering restoration) exactly like the reference (``:750-751``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from morbit_tpu.ops.geometry import intersect_bounds, local_bounds
+from morbit_tpu.ops.qp import solve_qp
+
+_EPS64 = 2.0 ** -52
+
+
+@dataclasses.dataclass(frozen=True)
+class SteepestDescentConfig:
+    """``SteepestDescentConfig`` (``descent.jl:53-72``) with reference defaults."""
+
+    strict_backtracking: bool = True
+    armijo_const_rhs: float = 1e-6
+    armijo_const_shrink: float = 0.75
+    min_stepsize: float = 10 * _EPS64
+    max_loops: int = int(math.floor(math.log(10 * _EPS64) / math.log(0.75)))
+    normalize: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PascolettiSerafiniConfig:
+    """``PascolettiSerafiniConfig`` (``descent.jl:323-349``).
+
+    The NLopt :GN_ISRES global stage is replaced by batched random search over
+    the local box + projected-gradient polish on the smooth surrogate
+    scalarization (SURVEY.md §7 step 10)."""
+
+    reference_point: tuple = ()
+    reference_direction: tuple = ()
+    trust_region_factor: float = 1.0
+    max_ps_problem_evals: int = -1
+    max_ps_polish_evals: int = -1
+    max_ideal_point_problem_evals: int = -1
+    n_samples: int = 256
+    polish_iters: int = 50
+
+
+def resolve_descent_config(spec):
+    if isinstance(spec, (SteepestDescentConfig, PascolettiSerafiniConfig)):
+        return spec
+    if spec in ("steepest_descent", "steepest", "sd"):
+        return SteepestDescentConfig()
+    if spec in ("ps", "pascoletti_serafini"):
+        return PascolettiSerafiniConfig()
+    raise ValueError(f"unknown descent method {spec!r}")
+
+
+class LinearizedConstraints(NamedTuple):
+    """Linear(ized) constraint rows for the subproblems, all in scaled space.
+
+    ``A_eq d - b_eq == 0`` and ``A_ineq d - b_ineq <= 0`` for a step ``d``
+    from the expansion point; includes both the true linear constraints and
+    the surrogate linearizations of the nonlinear ones
+    (``descent.jl:199-236``). Zero-row arrays when absent (static shapes)."""
+
+    A_eq: jax.Array
+    b_eq: jax.Array
+    A_ineq: jax.Array
+    b_ineq: jax.Array
+
+
+def steepest_descent_direction(
+    x_n: jax.Array,
+    Dm: jax.Array,
+    lb: jax.Array,
+    ub: jax.Array,
+    lin: LinearizedConstraints,
+    normalize: bool = True,
+    qp_iters: int = 400,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve the min-max LP; returns (d, omega). ``descent.jl:91-135``.
+
+    On solver failure the reference returns a zero step with ``omega = -Inf``
+    (``:130-134``); we mirror that from the residual status."""
+    n = x_n.shape[0]
+    m = Dm.shape[0]
+    dtype = x_n.dtype
+    if normalize:
+        c = jnp.linalg.norm(Dm, axis=1)
+        c = jnp.where(c > 0, c, 1.0)
+    else:
+        c = jnp.ones((m,), dtype)
+
+    p, q = lin.A_eq.shape[0], lin.A_ineq.shape[0]
+    nv = n + 1
+    inf = jnp.inf
+
+    A = jnp.concatenate([
+        jnp.concatenate([Dm, -c[:, None]], axis=1),                    # descent rows
+        jnp.concatenate([jnp.eye(n, dtype=dtype), jnp.zeros((n, 1), dtype)], axis=1),  # |d| <= 1
+        jnp.concatenate([jnp.eye(n, dtype=dtype), jnp.zeros((n, 1), dtype)], axis=1),  # box
+        jnp.concatenate([lin.A_eq, jnp.zeros((p, 1), dtype)], axis=1),
+        jnp.concatenate([lin.A_ineq, jnp.zeros((q, 1), dtype)], axis=1),
+    ], axis=0)
+    l = jnp.concatenate([
+        jnp.full((m,), -inf, dtype),
+        jnp.full((n,), -1.0, dtype),
+        lb - x_n,
+        lin.b_eq,
+        jnp.full((q,), -inf, dtype),
+    ])
+    u = jnp.concatenate([
+        jnp.zeros((m,), dtype),
+        jnp.full((n,), 1.0, dtype),
+        ub - x_n,
+        lin.b_eq,
+        lin.b_ineq,
+    ])
+    qv = jnp.zeros((nv,), dtype).at[n].set(1.0)
+    P = jnp.zeros((nv, nv), dtype)
+    sol = solve_qp(P, qv, A, l, u, iters=qp_iters)
+
+    d = sol.z[:n]
+    omega = -sol.z[n]
+    ok = sol.status_ok & jnp.all(jnp.isfinite(d))
+    d = jnp.where(ok, d, 0.0)
+    omega = jnp.where(ok, omega, -jnp.inf)
+    return d, omega
+
+
+def armijo_ok(mx, mx_t, step_size, omega, c, strict: bool):
+    """``_armijo_condition`` (``descent.jl:137-143``)."""
+    if strict:
+        return jnp.all((mx - mx_t) >= step_size * c * omega)
+    return (jnp.max(mx) - jnp.max(mx_t)) >= step_size * c * omega
+
+
+def backtrack(x_n, d, sigma0, omega, eval_mx, states, cfg: SteepestDescentConfig):
+    """Armijo backtracking on the surrogates (``descent.jl:150-185``).
+
+    ``eval_mx(states, x) -> (mx, states)`` threads the exact-model eval
+    counters through the loop. Returns (x_plus, mx_plus, step, states)."""
+    dtype = x_n.dtype
+    alpha = jnp.asarray(cfg.armijo_const_shrink, dtype)
+    c = jnp.asarray(cfg.armijo_const_rhs, dtype)
+    min_step = jnp.asarray(cfg.min_stepsize, dtype)
+
+    mx, states = eval_mx(states, x_n)
+    x_t = x_n + sigma0 * d
+    mx_t, states = eval_mx(states, x_t)
+
+    def cond(carry):
+        i, sigma, x_t, mx_t, states, done = carry
+        return (i < cfg.max_loops) & (~done)
+
+    def body(carry):
+        i, sigma, x_t, mx_t, states, done = carry
+        ok = armijo_ok(mx, mx_t, sigma, omega, c, cfg.strict_backtracking)
+        too_small = sigma <= min_step
+        stop = ok | too_small
+
+        sigma_new = jnp.where(stop, sigma, sigma * alpha)
+        x_new = jnp.where(stop, x_t, x_n + sigma_new * d)
+        mx_new, states = jax.lax.cond(
+            stop, lambda s: (mx_t, s), lambda s: eval_mx(s, x_new), states)
+        return (i + 1, sigma_new, x_new, mx_new, states, stop)
+
+    i0 = jnp.asarray(0, jnp.int32)
+    carry = (i0, jnp.asarray(sigma0, dtype), x_t, mx_t, states, jnp.asarray(False))
+    _, sigma, x_t, mx_t, states, _ = jax.lax.while_loop(cond, body, carry)
+    step = sigma * d
+    return x_t, mx_t, step, states
+
+
+def initial_stepsize(x, x_n, d, delta, lb, ub, dtype):
+    """Initial backtracking stepsize sigma (``descent.jl:253-310``).
+
+    Box-only variant of the reference logic (the doubled linearized system
+    for Delta > 1 with ||d|| ~ 1 reduces to the box intersection here; the
+    linearized-constraint rows are added by the caller when present)."""
+    lb_eff, ub_eff = local_bounds(x, delta, lb, ub)
+    took_normal = ~jnp.all(jnp.isclose(x, x_n))
+    delta_eff = jnp.where(
+        took_normal,
+        intersect_bounds(x_n, d, lb_eff, ub_eff, ret_mode="pos"),
+        delta,
+    )
+    norm_d = jnp.max(jnp.abs(d))
+    norm_d_safe = jnp.where(norm_d > 0, norm_d, 1.0)
+    sigma_small = jnp.minimum(delta_eff / norm_d_safe, 1.0)
+    # Delta > 1 branch: step until the local box is hit when ||d||_inf ~ 1
+    sigma_big = jnp.where(
+        jnp.isclose(norm_d, 1.0),
+        intersect_bounds(x_n, d, lb_eff, ub_eff, ret_mode="pos"),
+        jnp.asarray(1.0, dtype),
+    )
+    return jnp.where(delta_eff <= 1.0, sigma_small, sigma_big)
+
+
+def normal_step(
+    x: jax.Array,
+    lb: jax.Array,
+    ub: jax.Array,
+    lin: LinearizedConstraints,
+    kappa_delta: float,
+    delta_max: float,
+    delta: jax.Array,
+    variable_radius,
+    qp_iters: int = 400,
+):
+    """Min-inf-norm step onto the linearized feasible set
+    (``compute_normal_step``, ``descent.jl:691-758``).
+
+    ``lin`` carries rows with RHS measured at ``x``: ``A_eq n = b_eq``,
+    ``A_ineq n <= b_ineq``. ``variable_radius`` is traced (the reference picks
+    it from ``last_it_stat == RESTORATION``): both QP variants are solved and
+    selected. Returns (n, Delta, feasible)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    p, q = lin.A_eq.shape[0], lin.A_ineq.shape[0]
+    inf = jnp.inf
+    nv = n + 2  # (n_step, alpha, del)
+
+    eye = jnp.eye(n, dtype=dtype)
+    zn = jnp.zeros((n, 1), dtype)
+    rows = [
+        jnp.concatenate([eye, -jnp.ones((n, 1), dtype), zn], axis=1),   # n_i - a <= 0
+        jnp.concatenate([-eye, -jnp.ones((n, 1), dtype), zn], axis=1),  # -n_i - a <= 0
+        jnp.concatenate([jnp.zeros((1, n), dtype),
+                         jnp.ones((1, 1), dtype), jnp.zeros((1, 1), dtype)], axis=1),  # a >= 0
+        jnp.concatenate([eye, zn, zn], axis=1),                         # box
+        jnp.concatenate([lin.A_eq, jnp.zeros((p, 2), dtype)], axis=1),
+        jnp.concatenate([lin.A_ineq, jnp.zeros((q, 2), dtype)], axis=1),
+        # a - kappa_delta * del <= 0 (only active in variable_radius mode)
+        jnp.concatenate([jnp.zeros((1, n), dtype), jnp.ones((1, 1), dtype),
+                         jnp.full((1, 1), -kappa_delta, dtype)], axis=1),
+        # del box
+        jnp.concatenate([jnp.zeros((1, n + 1), dtype), jnp.ones((1, 1), dtype)], axis=1),
+    ]
+    A = jnp.concatenate(rows, axis=0)
+
+    def bounds(var_rad):
+        l = jnp.concatenate([
+            jnp.full((2 * n,), -inf, dtype),
+            jnp.zeros((1,), dtype),
+            lb - x,
+            lin.b_eq,
+            jnp.full((q,), -inf, dtype),
+            jnp.full((1,), -inf, dtype),
+            jnp.zeros((1,), dtype),
+        ])
+        u = jnp.concatenate([
+            jnp.zeros((2 * n,), dtype),
+            jnp.full((1,), inf, dtype),
+            ub - x,
+            lin.b_eq,
+            lin.b_ineq,
+            jnp.where(var_rad, 0.0, inf)[None].astype(dtype),
+            jnp.full((1,), delta_max, dtype),
+        ])
+        qv = jnp.zeros((nv,), dtype)
+        qv = qv.at[n].set(jnp.where(var_rad, 0.0, 1.0))
+        qv = qv.at[n + 1].set(jnp.where(var_rad, 1.0, 0.0))
+        return qv, l, u
+
+    P = jnp.zeros((nv, nv), dtype)
+    qv, l, u = bounds(variable_radius)
+    sol = solve_qp(P, qv, A, l, u, iters=qp_iters)
+
+    feasible = sol.status_ok
+    n_step = sol.z[:n]
+    # clip tiny box violations (``descent.jl:756``)
+    n_step = jnp.clip(x + n_step, lb, ub) - x
+    n_step = jnp.where(feasible, n_step, jnp.nan)
+    delta_out = jnp.where(variable_radius, sol.z[n + 1], delta)
+    return n_step, delta_out, feasible

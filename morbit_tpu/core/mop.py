@@ -1,0 +1,291 @@
+"""Multiobjective problem definition and compilation.
+
+User-facing mutable :class:`MOP` mirroring the reference API
+(``src/MOP.jl:9-107``: ``add_objective!``, ``add_nl_eq_constraint!``,
+``add_eq_constraint!`` …), plus :func:`compile_mop`, the analogue of freezing
+the problem into a fully-typed ``MOPTyped`` at optimize start
+(``src/MOP.jl:27-82``, ``algorithm.jl:248``).
+
+Differences by design (TPU-first):
+
+* user functions are *pure JAX functions* ``x -> (n_out,)`` over unscaled
+  sites, so evaluation batches via ``vmap`` (subsuming the reference's
+  ``can_batch``/broadcast machinery, ``src/globals.jl:97-102``) and the whole
+  solver can stay under ``jit``;
+* the index bookkeeping (``NLIndex`` -> output ranges) becomes static slice
+  metadata computed once at compile time;
+* function grouping (``do_groupings``, ``SurrogateContainer.jl:2-46``) happens
+  at compile time: functions with equal combinable configs are fitted as one
+  vector surrogate and share one evaluation database.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morbit_tpu.models.configs import (
+    ExactConfig,
+    LagrangeConfig,
+    RbfConfig,
+    SurrogateConfig,
+    TaylorConfig,
+)
+
+OBJECTIVE = "objective"
+NL_EQ = "nl_eq"
+NL_INEQ = "nl_ineq"
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class VecFun:
+    """A (vector-valued) user function with model config and optional
+    derivative callbacks (the ``VecFun``/``DiffFn`` analogue,
+    ``src/VecFun.jl:13-98``, ``src/DiffFn.jl:56-140``)."""
+
+    fn: Callable
+    n_out: int
+    model_cfg: SurrogateConfig
+    role: str
+    jac: Optional[Callable] = None      # x -> (n_out, n) Jacobian callback
+    hess: Optional[Callable] = None     # x -> (n_out, n, n) Hessians callback
+    max_evals: int = 2 ** 31 - 1
+
+    def eval(self, x: jax.Array) -> jax.Array:
+        return jnp.atleast_1d(jnp.asarray(self.fn(x)))
+
+    def jacobian(self, x: jax.Array) -> jax.Array:
+        """User callback > autodiff (``AutoDiffWrapper``, ``DiffFn.jl:56``)."""
+        if self.jac is not None:
+            return jnp.reshape(jnp.asarray(self.jac(x)), (self.n_out, x.shape[0]))
+        return jnp.reshape(jax.jacfwd(self.eval)(x), (self.n_out, x.shape[0]))
+
+    def hessians(self, x: jax.Array) -> jax.Array:
+        if self.hess is not None:
+            n = x.shape[0]
+            return jnp.reshape(jnp.asarray(self.hess(x)), (self.n_out, n, n))
+        return jax.jacfwd(jax.jacrev(self.eval))(x).reshape(
+            (self.n_out, x.shape[0], x.shape[0]))
+
+
+class MOP:
+    """Mutable problem container (``src/MOP.jl:9-25``).
+
+    ``MOP(n)`` — n unconstrained variables; ``MOP(lb, ub)`` — box constrained.
+    """
+
+    def __init__(self, n_or_lb, ub=None):
+        if ub is None and np.isscalar(n_or_lb):
+            self.n_vars = int(n_or_lb)
+            self.lb = np.full(self.n_vars, -np.inf)
+            self.ub = np.full(self.n_vars, np.inf)
+        else:
+            self.lb = np.asarray(n_or_lb, float)
+            self.ub = np.asarray(ub, float)
+            assert self.lb.shape == self.ub.shape
+            self.n_vars = self.lb.shape[0]
+        self.functions: list[VecFun] = []
+        self._A_eq: list[np.ndarray] = []
+        self._b_eq: list[np.ndarray] = []
+        self._A_ineq: list[np.ndarray] = []
+        self._b_ineq: list[np.ndarray] = []
+
+    # -- nonlinear functions (``MOP.jl:84-107``) -----------------------------
+    def _add(self, fn, n_out, model_cfg, role, jac=None, hess=None, max_evals=2 ** 31 - 1):
+        vf = VecFun(fn=fn, n_out=int(n_out), model_cfg=model_cfg, role=role,
+                    jac=jac, hess=hess, max_evals=max_evals)
+        self.functions.append(vf)
+        return len(self.functions) - 1
+
+    def add_objective(self, fn, n_out=1, model_cfg=None, jac=None, hess=None,
+                      max_evals=2 ** 31 - 1):
+        cfg = RbfConfig() if model_cfg is None else model_cfg
+        return self._add(fn, n_out, cfg, OBJECTIVE, jac, hess, max_evals)
+
+    def add_exact_objective(self, fn, n_out=1, jac=None, **kw):
+        """``add_exact_objective!`` — grads from callback or autodiff."""
+        return self._add(fn, n_out, ExactConfig(), OBJECTIVE, jac, **kw)
+
+    def add_rbf_objective(self, fn, n_out=1, **cfg_kw):
+        return self._add(fn, n_out, RbfConfig(**cfg_kw), OBJECTIVE)
+
+    def add_lagrange_objective(self, fn, n_out=1, **cfg_kw):
+        return self._add(fn, n_out, LagrangeConfig(**cfg_kw), OBJECTIVE)
+
+    def add_taylor_objective(self, fn, n_out=1, **cfg_kw):
+        return self._add(fn, n_out, TaylorConfig(**cfg_kw), OBJECTIVE)
+
+    def add_nl_eq_constraint(self, fn, n_out=1, model_cfg=None, jac=None, hess=None):
+        cfg = RbfConfig() if model_cfg is None else model_cfg
+        return self._add(fn, n_out, cfg, NL_EQ, jac, hess)
+
+    def add_nl_ineq_constraint(self, fn, n_out=1, model_cfg=None, jac=None, hess=None):
+        cfg = RbfConfig() if model_cfg is None else model_cfg
+        return self._add(fn, n_out, cfg, NL_INEQ, jac, hess)
+
+    # -- linear constraints (``AbstractMOPInterface.jl:354-375``) ------------
+    def add_eq_constraint(self, A, b):
+        """Rows of ``A x - b == 0``."""
+        A = np.atleast_2d(np.asarray(A, float))
+        self._A_eq.append(A)
+        self._b_eq.append(np.atleast_1d(np.asarray(b, float)))
+
+    def add_ineq_constraint(self, A, b):
+        """Rows of ``A x - b <= 0``."""
+        A = np.atleast_2d(np.asarray(A, float))
+        self._A_ineq.append(A)
+        self._b_ineq.append(np.atleast_1d(np.asarray(b, float)))
+
+    @property
+    def num_objectives(self):
+        return sum(f.n_out for f in self.functions if f.role == OBJECTIVE)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class GroupMember:
+    fn_index: int        # index into mop.functions
+    group_offset: int    # offset of this function's outputs inside the group
+    global_offset: int   # offset inside the role vector (fx / c_e / c_i)
+    n_out: int
+    role: str
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class GroupSpec:
+    """Static description of one surrogate group (``GroupedSurrogates``
+    analogue, ``SurrogateContainer.jl:48-99``)."""
+
+    index: int
+    cfg: SurrogateConfig
+    fns: tuple          # tuple[VecFun]
+    members: tuple      # tuple[GroupMember]
+    m: int              # total outputs
+    max_evals: int      # min over member functions and cfg
+    has_objective: bool
+
+    def eval_unscaled(self, x: jax.Array) -> jax.Array:
+        """Concatenated true values of all member functions at an unscaled
+        site — the batched-evaluation unit (``eval_missing!`` evaluates per
+        sub-database, ``Databases.jl:258-277``)."""
+        return jnp.concatenate([f.eval(x) for f in self.fns])
+
+    def jac_unscaled(self, x: jax.Array) -> jax.Array:
+        return jnp.concatenate([f.jacobian(x) for f in self.fns], axis=0)
+
+    def hess_unscaled(self, x: jax.Array) -> jax.Array:
+        return jnp.concatenate([f.hessians(x) for f in self.fns], axis=0)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CompiledMOP:
+    """Frozen problem (``MOPTyped`` analogue, ``src/MOP.jl:27-82``)."""
+
+    n_vars: int
+    lb: np.ndarray
+    ub: np.ndarray
+    A_eq: np.ndarray     # (p, n)
+    b_eq: np.ndarray     # (p,)
+    A_ineq: np.ndarray   # (q, n)
+    b_ineq: np.ndarray   # (q,)
+    groups: tuple        # tuple[GroupSpec]
+    m_obj: int
+    m_ce: int
+    m_ci: int
+
+    @property
+    def n_groups(self):
+        return len(self.groups)
+
+    @property
+    def has_nl_constraints(self):
+        return (self.m_ce + self.m_ci) > 0
+
+    @property
+    def has_lin_constraints(self):
+        return self.A_eq.shape[0] + self.A_ineq.shape[0] > 0
+
+    def scatter_role_vectors(self, group_values: Sequence[jax.Array], dtype):
+        """Map per-group output vectors into (fx, c_e, c_i)."""
+        fx = jnp.zeros((self.m_obj,), dtype)
+        c_e = jnp.zeros((self.m_ce,), dtype)
+        c_i = jnp.zeros((self.m_ci,), dtype)
+        for g, vals in zip(self.groups, group_values):
+            for mb in g.members:
+                part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
+                if mb.role == OBJECTIVE:
+                    fx = jax.lax.dynamic_update_slice_in_dim(fx, part, mb.global_offset, 0)
+                elif mb.role == NL_EQ:
+                    c_e = jax.lax.dynamic_update_slice_in_dim(c_e, part, mb.global_offset, 0)
+                else:
+                    c_i = jax.lax.dynamic_update_slice_in_dim(c_i, part, mb.global_offset, 0)
+        return fx, c_e, c_i
+
+
+def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
+    """Freeze the problem: build groups, output maps, linear blocks.
+
+    Grouping rule (``do_groupings`` + ``combinable``,
+    ``SurrogateContainer.jl:2-46``): functions whose configs are combinable
+    and compare equal share one group; others get singleton groups.
+    """
+    if mop.num_objectives == 0:
+        raise ValueError("`mop` has no objectives!")
+
+    group_lists: list[list[int]] = []
+    group_cfgs: list[SurrogateConfig] = []
+    for i, f in enumerate(mop.functions):
+        placed = False
+        if combine_models and f.model_cfg.combinable:
+            for gi, cfg in enumerate(group_cfgs):
+                if cfg == f.model_cfg and type(cfg) is type(f.model_cfg):
+                    group_lists[gi].append(i)
+                    placed = True
+                    break
+        if not placed:
+            group_lists.append([i])
+            group_cfgs.append(f.model_cfg)
+
+    role_offsets = {OBJECTIVE: 0, NL_EQ: 0, NL_INEQ: 0}
+    # global offsets follow function addition order (reference orders outputs
+    # by objective index ordering)
+    fn_global_offset = {}
+    for i, f in enumerate(mop.functions):
+        fn_global_offset[i] = role_offsets[f.role]
+        role_offsets[f.role] += f.n_out
+
+    groups = []
+    for gi, fn_ids in enumerate(group_lists):
+        members = []
+        off = 0
+        fns = []
+        max_ev = 2 ** 31 - 1
+        has_obj = False
+        for i in fn_ids:
+            f = mop.functions[i]
+            members.append(GroupMember(i, off, fn_global_offset[i], f.n_out, f.role))
+            off += f.n_out
+            fns.append(f)
+            max_ev = min(max_ev, f.max_evals, getattr(f.model_cfg, "max_evals", 2 ** 31 - 1))
+            has_obj = has_obj or f.role == OBJECTIVE
+        groups.append(GroupSpec(
+            index=gi, cfg=group_cfgs[gi], fns=tuple(fns), members=tuple(members),
+            m=off, max_evals=max_ev, has_objective=has_obj,
+        ))
+
+    n = mop.n_vars
+    A_eq = np.vstack(mop._A_eq) if mop._A_eq else np.zeros((0, n))
+    b_eq = np.concatenate(mop._b_eq) if mop._b_eq else np.zeros((0,))
+    A_ineq = np.vstack(mop._A_ineq) if mop._A_ineq else np.zeros((0, n))
+    b_ineq = np.concatenate(mop._b_ineq) if mop._b_ineq else np.zeros((0,))
+
+    return CompiledMOP(
+        n_vars=n, lb=mop.lb, ub=mop.ub,
+        A_eq=A_eq, b_eq=b_eq, A_ineq=A_ineq, b_ineq=b_ineq,
+        groups=tuple(groups),
+        m_obj=role_offsets[OBJECTIVE], m_ce=role_offsets[NL_EQ],
+        m_ci=role_offsets[NL_INEQ],
+    )

@@ -1,0 +1,75 @@
+"""Surrogate model interface (functional, static-shape).
+
+The reference's 2-phase surrogate protocol (``AbstractSurrogateInterface.jl:
+25-79``: ``prepare_init_model``/``prepare_update_model`` enqueue unevaluated
+database sites, ``eval_missing!`` batch-evaluates, ``init/update/improve_model``
+fit) becomes a set of pure functions per model family operating on immutable
+state pytrees:
+
+    prepare(state, db, ctx)        -> (state, db)   # phase 1: enqueue sites
+    fit(state, db, ctx)            -> state          # phase 2: fit from db
+    prepare_improve(state, db, ctx)-> (state, db)
+    eval(state, x_s)               -> (m,)
+    jac(state, x_s)                -> (m, n)
+    fully_linear(state)            -> bool array
+
+An ops object is constructed per group at compile time and closes over all
+static metadata (config, group functions, scaler, algorithm config).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+
+
+class ModelContext(NamedTuple):
+    """Traced per-iteration inputs to the model build."""
+
+    x_s: jax.Array      # (n,) current iterate, scaled
+    x_index: jax.Array  # int32 — row of the iterate in this group's database
+    delta: jax.Array    # scalar trust-region radius
+    n_evals: jax.Array  # int32 — group eval counter (for round-3 budgets)
+
+
+class SurrogateOps:
+    """Base class; subclasses implement the protocol above."""
+
+    #: True if evaluating the *model* consumes true-function budget
+    #: (only the exact model: ``ExactModel`` forwards to the counted
+    #: function, ``src/models/ExactModel.jl:22-119``).
+    counts_on_eval: bool = False
+
+    def __init__(self, group, n_vars: int, dtype, ac, scal):
+        self.group = group
+        self.cfg = group.cfg
+        self.n_vars = n_vars
+        self.dtype = dtype
+        self.ac = ac
+        self.scal = scal
+
+    # default no-op implementations (exact model)
+    def init_state(self):
+        raise NotImplementedError
+
+    def prepare(self, state, db, ctx: ModelContext, ensure_fully_linear: bool):
+        return state, db
+
+    def fit(self, state, db, ctx: ModelContext):
+        return state
+
+    def prepare_improve(self, state, db, ctx: ModelContext):
+        return state, db
+
+    def eval(self, state, x_s):
+        raise NotImplementedError
+
+    def jac(self, state, x_s):
+        raise NotImplementedError
+
+    def fully_linear(self, state):
+        raise NotImplementedError
+
+    def set_fully_linear(self, state, val):
+        return state

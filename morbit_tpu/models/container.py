@@ -1,0 +1,219 @@
+"""Surrogate container: grouped vector models + role-indexed evaluation.
+
+Reference: ``src/SurrogateContainer.jl``. Holds one surrogate per group and
+maps group outputs into objective / nl-constraint vectors; orchestrates the
+2-phase init/update/improve across groups (``SurrogateContainer.jl:272-296,
+334-391``) with the batched ``eval_missing`` step in between.
+
+Evaluation-count bookkeeping lives here: each group carries an ``n_evals``
+counter (the ``CountedFunc`` analogue, ``src/globals.jl:74-112``); exact-model
+groups also count on *model* evaluation, because their model is the counted
+true function.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from morbit_tpu.core import database as dbm
+from morbit_tpu.core import scaling
+from morbit_tpu.core.mop import NL_EQ, NL_INEQ, OBJECTIVE, CompiledMOP
+from morbit_tpu.models.base import ModelContext
+from morbit_tpu.models.configs import (
+    ExactConfig,
+    LagrangeConfig,
+    RbfConfig,
+    TaylorConfig,
+)
+
+
+class GroupState(NamedTuple):
+    db: dbm.Database
+    model: object        # model-family-specific pytree
+    n_evals: jax.Array   # int32
+
+
+def make_ops(group, n_vars, dtype, ac, scal):
+    from morbit_tpu.models.exact import ExactOps
+    from morbit_tpu.models.rbf_model import RbfOps
+    from morbit_tpu.models.taylor import TaylorOps
+    from morbit_tpu.models.lagrange import LagrangeOps
+
+    cfg = group.cfg
+    if isinstance(cfg, ExactConfig):
+        return ExactOps(group, n_vars, dtype, ac, scal)
+    if isinstance(cfg, RbfConfig):
+        return RbfOps(group, n_vars, dtype, ac, scal)
+    if isinstance(cfg, TaylorConfig):
+        return TaylorOps(group, n_vars, dtype, ac, scal)
+    if isinstance(cfg, LagrangeConfig):
+        return LagrangeOps(group, n_vars, dtype, ac, scal)
+    raise TypeError(f"unknown surrogate config {type(cfg)}")
+
+
+class SurrogateContainer:
+    """Static container built once at compile time."""
+
+    def __init__(self, mop: CompiledMOP, dtype, ac, scal, db_capacity: int):
+        self.mop = mop
+        self.dtype = dtype
+        self.ac = ac
+        self.scal = scal
+        self.db_capacity = db_capacity
+        self.ops = tuple(
+            make_ops(g, mop.n_vars, dtype, ac, scal) for g in mop.groups
+        )
+
+    # ------------------------------------------------------------- state init
+    def init_group_states(self):
+        states = []
+        for g in self.mop.groups:
+            db = dbm.init_database(self.db_capacity, self.mop.n_vars, g.m, self.dtype)
+            states.append(GroupState(db=db, model=self.ops[g.index].init_state(),
+                                     n_evals=jnp.asarray(0, jnp.int32)))
+        return tuple(states)
+
+    # --------------------------------------------------------- true evaluation
+    def evaluate_true(self, states, x_s):
+        """Evaluate all groups' true functions at one scaled site, insert the
+        results into each group database, and bump the counters — the
+        ``evaluate_at_unscaled_site`` + ``put_eval_result_into_db!`` pair
+        (``algorithm.jl:760-764``).
+
+        Returns (fx, c_e, c_i, new_states, x_indices)."""
+        x = scaling.untransform(self.scal, x_s)
+        group_vals = []
+        new_states = []
+        x_indices = []
+        for g, st in zip(self.mop.groups, states):
+            vals = g.eval_unscaled(x)
+            db, idx = dbm.add_evaluated(st.db, x_s, vals)
+            group_vals.append(vals)
+            x_indices.append(idx)
+            new_states.append(st._replace(db=db, n_evals=st.n_evals + 1))
+        fx, c_e, c_i = self.mop.scatter_role_vectors(group_vals, self.dtype)
+        return fx, c_e, c_i, tuple(new_states), jnp.stack(x_indices)
+
+    # ------------------------------------------------------------ model update
+    def _contexts(self, states, x_s, x_indices, delta):
+        return [
+            ModelContext(x_s=x_s, x_index=x_indices[i], delta=delta,
+                         n_evals=states[i].n_evals)
+            for i in range(len(states))
+        ]
+
+    def update(self, states, x_s, x_indices, delta, ensure_fully_linear: bool):
+        """``update_surrogates!`` (``SurrogateContainer.jl:334-391``):
+        prepare all groups, batch-evaluate missing sites, fit."""
+        ctxs = self._contexts(states, x_s, x_indices, delta)
+        return self._two_phase(states, ctxs, ensure_fully_linear, improve=False)
+
+    def improve(self, states, x_s, x_indices, delta):
+        """``improve_surrogates!`` — one improvement step per non-fully-linear
+        group, then re-fit."""
+        ctxs = self._contexts(states, x_s, x_indices, delta)
+        return self._two_phase(states, ctxs, False, improve=True)
+
+    def _two_phase(self, states, ctxs, ensure_fully_linear, improve):
+        # phase 1
+        mid = []
+        for ops, st, ctx in zip(self.ops, states, ctxs):
+            if improve:
+                model, db = ops.prepare_improve(st.model, st.db, ctx)
+            else:
+                model, db = ops.prepare(st.model, st.db, ctx, ensure_fully_linear)
+            mid.append(st._replace(model=model, db=db))
+        # batched evaluation of missing sites (``eval_missing!``)
+        evaled = []
+        for g, st in zip(self.mop.groups, mid):
+            fn = lambda xs, g=g: g.eval_unscaled(scaling.untransform(self.scal, xs))
+            db, n_new = dbm.eval_missing(st.db, fn)
+            evaled.append(st._replace(db=db, n_evals=st.n_evals + n_new))
+        # phase 2
+        out = []
+        for ops, st, ctx in zip(self.ops, evaled, ctxs):
+            model = ops.fit(st.model, st.db, ctx)
+            out.append(st._replace(model=model))
+        return tuple(out)
+
+    # ------------------------------------------------------------- model evals
+    def _gather(self, states, x_s, which, role):
+        """Evaluate/differentiate group models, scatter into a role vector."""
+        n = self.mop.n_vars
+        dt = self.dtype
+        dims = {OBJECTIVE: self.mop.m_obj, NL_EQ: self.mop.m_ce, NL_INEQ: self.mop.m_ci}
+        m_role = dims[role]
+        if which == "eval":
+            out = jnp.zeros((m_role,), dt)
+        else:
+            out = jnp.zeros((m_role, n), dt)
+        new_states = list(states)
+        for g, ops in zip(self.mop.groups, self.ops):
+            members = [mb for mb in g.members if mb.role == role]
+            if not members:
+                continue
+            st = states[g.index]
+            if which == "eval":
+                vals = ops.eval(st.model, x_s)
+                if ops.counts_on_eval:
+                    new_states[g.index] = st._replace(n_evals=st.n_evals + 1)
+            else:
+                vals = ops.jac(st.model, x_s)
+            for mb in members:
+                part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
+                out = jax.lax.dynamic_update_slice_in_dim(out, part, mb.global_offset, 0)
+        return out, tuple(new_states)
+
+    def eval_objectives(self, states, x_s):
+        """``eval_container_objectives_at_scaled_site``
+        (``SurrogateContainer.jl:234-269``)."""
+        return self._gather(states, x_s, "eval", OBJECTIVE)
+
+    def jac_objectives(self, states, x_s):
+        out, _ = self._gather(states, x_s, "jac", OBJECTIVE)
+        return out
+
+    def eval_nl_eq(self, states, x_s):
+        return self._gather(states, x_s, "eval", NL_EQ)
+
+    def eval_nl_ineq(self, states, x_s):
+        return self._gather(states, x_s, "eval", NL_INEQ)
+
+    def jac_nl_eq(self, states, x_s):
+        out, _ = self._gather(states, x_s, "jac", NL_EQ)
+        return out
+
+    def jac_nl_ineq(self, states, x_s):
+        out, _ = self._gather(states, x_s, "jac", NL_INEQ)
+        return out
+
+    # ------------------------------------------------------------------- flags
+    def fully_linear(self, states):
+        """AND over groups (``SurrogateContainer.jl`` fully_linear)."""
+        flag = jnp.asarray(True)
+        for ops, st in zip(self.ops, states):
+            flag = flag & ops.fully_linear(st.model)
+        return flag
+
+    def set_fully_linear(self, states, val):
+        return tuple(
+            st._replace(model=ops.set_fully_linear(st.model, val))
+            for ops, st in zip(self.ops, states)
+        )
+
+    # ------------------------------------------------------------------ budget
+    def budget_exhausted(self, states):
+        """``_budget_okay`` negation (``algorithm.jl:6-12``): any objective
+        group at or above its eval cap."""
+        flag = jnp.asarray(False)
+        for g, st in zip(self.mop.groups, states):
+            if not g.has_objective:
+                continue
+            cap = min(self.ac.max_evals, g.max_evals)
+            if cap >= 2 ** 31 - 1:
+                continue
+            flag = flag | (st.n_evals >= cap)
+        return flag

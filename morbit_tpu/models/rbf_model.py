@@ -1,0 +1,307 @@
+"""RBF surrogate models: training-set selection (Wild's ORBIT rounds) + fit.
+
+Reference: ``src/models/RbfModel.jl`` — the core model family of the package.
+The 4-round training-set construction (``RbfModel.jl:518-655``) is re-expressed
+with static shapes:
+
+* Round 1 (``:242-248``): affinely-independent database points inside the
+  ``theta_1 * Delta`` box — masked greedy QR filter over the whole database
+  array.
+* Round 2 (``:251-265``): same in the wider ``theta_2 * Delta_max`` box,
+  warm-started with round 1's span, skipped under the reference's exact
+  condition (``:588``) via masking.
+* Round 3 (``:269-307``): sample along the improving directions (reversed
+  orthogonal-complement columns); pivot-failing offsets trigger the
+  coordinate-axis rebuild (``:633-637``) — both proposals are computed and
+  selected with ``where`` instead of the reference's ``@goto`` recursion.
+* Round 4 (Cholesky-bounded extra points, ``:352-499``) is the
+  ``optimized_sampling`` enrichment — implemented separately in
+  :mod:`morbit_tpu.models.rbf_round4`.
+
+Model improvement steps (``:699-732``) consume one stored improving
+direction per call. Fitting replaces ``RBF.RBFInterpolationModel``
+(``:759-767``) with the masked batched KKT solve in
+:mod:`morbit_tpu.ops.rbf`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from morbit_tpu.core import database as dbm
+from morbit_tpu.models.base import ModelContext, SurrogateOps
+from morbit_tpu.ops.affine import (
+    affinely_independent_points,
+    improving_directions_from,
+)
+from morbit_tpu.ops.geometry import intersect_box, local_bounds
+from morbit_tpu.ops.rbf import (
+    RbfFit,
+    eval_rbf,
+    fit_rbf,
+    kernel_default_param,
+    poly_dim,
+    rbf_jacobian,
+)
+
+
+class RbfState(NamedTuple):
+    idx: jax.Array          # (cap_train,) int32 training rows; slot 0 = center
+    n_train: jax.Array      # int32
+    fully_linear: jax.Array  # bool
+    dirs: jax.Array         # (n, n) improving directions (rows, consumption order)
+    dirs_head: jax.Array    # int32 next direction to consume
+    dirs_count: jax.Array   # int32 valid directions
+    fit: RbfFit
+
+
+def _masked_append(buf, count, src, src_count):
+    """Place ``src[:src_count]`` at ``buf[count:count+src_count]`` (static caps)."""
+    pos = count + jnp.arange(src.shape[0])
+    ok = jnp.arange(src.shape[0]) < src_count
+    buf = buf.at[jnp.where(ok, pos, buf.shape[0])].set(
+        jnp.where(ok, src, 0), mode="drop")
+    return buf, count + src_count
+
+
+class RbfOps(SurrogateOps):
+    def __init__(self, group, n_vars, dtype, ac, scal):
+        super().__init__(group, n_vars, dtype, ac, scal)
+        cfg = self.cfg
+        self.max_points = cfg.resolved_max_points(n_vars)
+        self.cap_train = n_vars + 1 + max(0, self.max_points - (n_vars + 1))
+        self.kernel = cfg.kernel
+        self.poly_deg = cfg.polynomial_degree
+        sp = cfg.shape_parameter
+        if callable(sp):
+            self._param_fn = sp
+            self._static_param = None
+        elif isinstance(sp, float) and math.isnan(sp):
+            self._param_fn = None
+            self._static_param = kernel_default_param(cfg.kernel)
+        else:
+            self._param_fn = None
+            self._static_param = sp
+
+    def _resolve_param(self, delta):
+        """Shape parameter, possibly Delta-dependent (``RbfModel.jl:665-690``)."""
+        if self._param_fn is not None:
+            return self._param_fn(delta)
+        return self._static_param
+
+    def init_state(self):
+        n, m = self.n_vars, self.group.m
+        dt = self.dtype
+        pd = poly_dim(n, self.poly_deg)
+        cap = self.cap_train
+        return RbfState(
+            idx=jnp.zeros((cap,), jnp.int32),
+            n_train=jnp.asarray(0, jnp.int32),
+            fully_linear=jnp.asarray(False),
+            dirs=jnp.zeros((n, n), dt),
+            dirs_head=jnp.asarray(0, jnp.int32),
+            dirs_count=jnp.asarray(0, jnp.int32),
+            fit=RbfFit(
+                sites=jnp.zeros((cap, n), dt),
+                mask=jnp.zeros((cap,), bool),
+                w=jnp.zeros((cap, m), dt),
+                lam=jnp.zeros((pd, m), dt),
+                param=jnp.asarray(1.0, dt),
+            ),
+        )
+
+    # ------------------------------------------------------------------ phase 1
+    def _round3_proposal(self, x, dirs, dirs_count, n_missing, max_new, lb1, ub1, piv1):
+        """Per-slot round-3 sites along improving directions (``:269-307``)."""
+        n = self.n_vars
+        n_new = jnp.clip(n_missing, 0, jnp.maximum(max_new, 0))
+
+        def per_slot(i):
+            d = dirs[jnp.clip(i, 0, n - 1)]
+            ln = intersect_box(x, d, lb1, ub1, ret_mode="absmax")
+            offset = ln * d
+            ok = jnp.max(jnp.abs(offset)) > piv1
+            return x + offset, ok
+
+        sites, ok = jax.vmap(per_slot)(jnp.arange(n))
+        active = jnp.arange(n) < n_new
+        any_fail = jnp.any(active & (~ok))
+        covers = n_new >= n_missing
+        return sites, active, ok, any_fail, covers, n_new
+
+    def prepare(self, state, db, ctx: ModelContext, ensure_fully_linear: bool):
+        cfg = self.cfg
+        n = self.n_vars
+        dt = self.dtype
+        x = ctx.x_s
+        delta = ctx.delta
+
+        delta_1 = jnp.asarray(cfg.theta_enlarge_1, dt) * delta
+        lb1, ub1 = local_bounds(x, delta_1, self.scal.lb_scaled, self.scal.ub_scaled)
+        piv1 = jnp.asarray(cfg.theta_pivot, dt) * delta_1
+        delta_2 = jnp.asarray(cfg.theta_enlarge_2 * self.ac.delta_max, dt)
+        lb2, ub2 = local_bounds(x, delta_2, self.scal.lb_scaled, self.scal.ub_scaled)
+        piv2 = piv1  # (``RbfModel.jl:560``)
+
+        num_unevaluated = jnp.sum(dbm.valid_mask(db) & (~db.evaluated)).astype(jnp.int32)
+        budget = min(self.ac.max_evals, self.group.max_evals)
+        max_new = jnp.asarray(budget, jnp.int32) - 1 - ctx.n_evals - num_unevaluated
+
+        if cfg.optimized_sampling:
+            # ---- round 1
+            cand1 = dbm.results_in_box(db, lb1, ub1, exclude_index=ctx.x_index)
+            sel1 = affinely_independent_points(x, db.X, cand1, piv1, n)
+            dirs, dirs_count = improving_directions_from(sel1.Z, sel1.k)
+            r1_idx, r1_cnt = sel1.order, sel1.n_picked
+            n_missing1 = n - r1_cnt
+
+            # ---- round 2 (computed always, masked by the skip condition ``:588``)
+            cand2 = dbm.results_in_box(db, lb2, ub2, exclude_index=ctx.x_index) & (~cand1)
+            sel2 = affinely_independent_points(
+                x, db.X, cand2, piv2, n_missing1, Y_init=sel1.Y, k_init=sel1.k)
+            delta_max = jnp.asarray(self.ac.delta_max, dt)
+            skip2 = n_missing1 == 0
+            if cfg.theta_enlarge_1 == cfg.theta_enlarge_2:
+                skip2 = skip2 | jnp.isclose(delta, delta_max)
+            if ensure_fully_linear:
+                skip2 = jnp.asarray(True)
+            r2_cnt = jnp.where(skip2, 0, sel2.n_picked)
+            r2_idx = sel2.order
+            fl_after2 = skip2
+            n_missing2 = n_missing1 - r2_cnt
+
+            # ---- round 3 normal proposal
+            (s3, act3, ok3, fail3, covers3, n_new3) = self._round3_proposal(
+                x, dirs, dirs_count, n_missing2, max_new, lb1, ub1, piv1)
+
+            # coordinate-axis rebuild proposal (``:564-570`` + recursion ``:633``)
+            dirs_cb = jnp.eye(n, dtype=dt)
+            (s3c, act3c, ok3c, _, covers3c, n_new3c) = self._round3_proposal(
+                x, dirs_cb, jnp.asarray(n, jnp.int32), jnp.asarray(n, jnp.int32),
+                max_new, lb1, ub1, piv1)
+
+            rebuild = jnp.asarray(ensure_fully_linear, bool) & fail3
+
+            pick = lambda a, b: jnp.where(rebuild, a, b)
+            r1_cnt = pick(0, r1_cnt)
+            r2_cnt = pick(0, r2_cnt)
+            sites3 = jnp.where(rebuild, s3c, s3)
+            active3 = pick(act3c, act3)
+            ok3 = pick(ok3c, ok3)
+            n_new = pick(n_new3c, n_new3)
+            dirs = pick(dirs_cb, dirs)
+            dirs_count = pick(n, dirs_count)
+            round3_ran = jnp.where(rebuild, True, n_missing2 > 0)
+            fl3 = jnp.where(rebuild, covers3c, covers3) & jnp.all(ok3 | (~active3))
+            fully_linear = jnp.where(
+                round3_ran, fl3 & (r2_cnt == 0), fl_after2)
+        else:
+            # non-optimized sampling: always rebuild along coordinate axes
+            # (``RbfModel.jl:564-570``; round 2 skipped, round 4 skipped)
+            r1_idx = -jnp.ones((n,), jnp.int32)
+            r1_cnt = jnp.asarray(0, jnp.int32)
+            r2_idx = -jnp.ones((n,), jnp.int32)
+            r2_cnt = jnp.asarray(0, jnp.int32)
+            dirs = jnp.eye(n, dtype=dt)
+            dirs_count = jnp.asarray(n, jnp.int32)
+            (sites3, active3, ok3, _, covers3, n_new) = self._round3_proposal(
+                x, dirs, dirs_count, jnp.asarray(n, jnp.int32), max_new,
+                lb1, ub1, piv1)
+            fully_linear = covers3 & jnp.all(ok3 | (~active3))
+
+        # ---- add round-3 sites to the database (masked)
+        r3_idx = -jnp.ones((n,), jnp.int32)
+
+        def add_one(i, carry):
+            db, r3_idx = carry
+            db, new_id = dbm.add_site(db, sites3[i], do_add=active3[i])
+            return db, r3_idx.at[i].set(new_id)
+
+        db, r3_idx = jax.lax.fori_loop(0, n, add_one, (db, r3_idx))
+
+        # ---- assemble training indices: [center; r1; r2; r3]
+        idx = jnp.zeros((self.cap_train,), jnp.int32)
+        idx = idx.at[0].set(ctx.x_index)
+        count = jnp.asarray(1, jnp.int32)
+        idx, count = _masked_append(idx, count, r1_idx, r1_cnt)
+        idx, count = _masked_append(idx, count, r2_idx, r2_cnt)
+        idx, count = _masked_append(idx, count, r3_idx, n_new)
+
+        state = state._replace(
+            idx=idx,
+            n_train=count,
+            fully_linear=fully_linear,
+            dirs=dirs,
+            dirs_head=n_new.astype(jnp.int32),
+            dirs_count=dirs_count.astype(jnp.int32),
+        )
+        return state, db
+
+    # ------------------------------------------------------------------ improve
+    def prepare_improve(self, state, db, ctx: ModelContext):
+        """One new site along the next improving direction (``:699-732``).
+
+        The direction is consumed even when the pivot test fails, matching
+        the reference's ``popfirst!`` before the test."""
+        cfg = self.cfg
+        dt = self.dtype
+        x = ctx.x_s
+        do = (~state.fully_linear) & (state.dirs_head < state.dirs_count)
+
+        delta_1 = jnp.asarray(cfg.theta_enlarge_1, dt) * ctx.delta
+        lb1, ub1 = local_bounds(x, delta_1, self.scal.lb_scaled, self.scal.ub_scaled)
+        piv1 = jnp.asarray(cfg.theta_pivot, dt) * delta_1
+
+        d = state.dirs[jnp.clip(state.dirs_head, 0, self.n_vars - 1)]
+        ln = intersect_box(x, d, lb1, ub1, ret_mode="absmax")
+        offset = ln * d
+        success = do & (jnp.max(jnp.abs(offset)) > piv1)
+
+        db, new_id = dbm.add_site(db, x + offset, do_add=success)
+        slot = jnp.clip(state.n_train, 0, self.cap_train - 1)
+        idx = jnp.where(success, state.idx.at[slot].set(new_id), state.idx)
+        n_train = jnp.where(success, state.n_train + 1, state.n_train)
+        head = jnp.where(do, state.dirs_head + 1, state.dirs_head)
+        fl = jnp.where(success & (head >= state.dirs_count), True, state.fully_linear)
+        return state._replace(idx=idx, n_train=n_train, dirs_head=head,
+                              fully_linear=fl), db
+
+    # ------------------------------------------------------------------ phase 2
+    def fit(self, state, db, ctx: ModelContext):
+        mask = jnp.arange(self.cap_train) < state.n_train
+        sites, values = dbm.get_rows(db, state.idx)
+        param = self._resolve_param(ctx.delta)
+        fit = fit_rbf(sites, values, mask, kernel=self.kernel, param=param,
+                      poly_deg=self.poly_deg)
+        # singular-KKT fallback (fewer valid points than the poly tail needs):
+        # re-solve with a tiny ridge on the tail block
+        bad = ~jnp.all(jnp.isfinite(fit.w)) | ~jnp.all(jnp.isfinite(fit.lam))
+        fit_reg = fit_rbf(sites, values, mask, kernel=self.kernel, param=param,
+                          poly_deg=self.poly_deg, reg=1e-10)
+        fit = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(bad, b, a), fit, fit_reg)
+        return state._replace(fit=fit)
+
+    # ------------------------------------------------------------------ eval
+    def _eval_param(self, state):
+        if self.kernel in ("cubic", "thin_plate_spline"):
+            return self._static_param
+        return state.fit.param
+
+    def eval(self, state, x_s):
+        return eval_rbf(state.fit, x_s, self.kernel, self.poly_deg,
+                        param=self._eval_param(state))
+
+    def jac(self, state, x_s):
+        return rbf_jacobian(state.fit, x_s, self.kernel, self.poly_deg,
+                            param=self._eval_param(state))
+
+    def fully_linear(self, state):
+        return state.fully_linear
+
+    def set_fully_linear(self, state, val):
+        return state._replace(fully_linear=jnp.asarray(val))

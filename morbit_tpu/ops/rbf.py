@@ -24,7 +24,6 @@ kernels below are written to be autodiff-safe at ``r = 0``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -102,7 +101,6 @@ class RbfFit(NamedTuple):
     param: jax.Array    # shape parameter actually used
 
 
-@partial(jax.jit, static_argnames=("kernel", "poly_deg"))
 def fit_rbf(
     sites: jax.Array,
     values: jax.Array,
