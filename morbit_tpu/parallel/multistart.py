@@ -1,0 +1,66 @@
+"""Batched / sharded multistart optimization.
+
+The TPU-native replacement for the reference's ``Threads.@threads``
+benchmark loop over independent optimizer runs
+(``examples/large_scale_benchmarks.jl:253-275``, SURVEY.md §2 parallelism
+inventory): the whole solver is a pure function, so
+
+* ``jax.vmap`` over the starting-point axis turns N independent
+  trust-region runs into batched dense algebra (batched Gram solves, batched
+  ADMM QPs -> MXU-saturating GEMMs), with per-instance termination handled by
+  the while-loop batching rule (finished instances become no-ops);
+* ``jax.sharding`` over a device ``Mesh`` splits the batch across chips.
+  Instances are independent — no collectives are required (SURVEY.md §5.8),
+  so the sharding is pure data parallelism over ICI and scales linearly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from morbit_tpu.core.algorithm import OptimizeResult, Solver
+from morbit_tpu.core.config import AlgorithmConfig
+from morbit_tpu.core.mop import MOP, CompiledMOP, compile_mop
+
+
+def build_solver(mop, algo_config: Optional[AlgorithmConfig] = None,
+                 dtype=jnp.float32) -> Solver:
+    ac = algo_config or AlgorithmConfig()
+    cmop = mop if isinstance(mop, CompiledMOP) else compile_mop(mop, ac.combine_models)
+    return Solver(cmop, ac, dtype)
+
+
+def multistart_optimize(
+    mop,
+    x0_batch,
+    algo_config: Optional[AlgorithmConfig] = None,
+    dtype=jnp.float32,
+    mesh: Optional[Mesh] = None,
+    donate: bool = False,
+) -> OptimizeResult:
+    """Run one full optimize() per row of ``x0_batch`` (B, n), batched.
+
+    With ``mesh`` (1-D over axis name 'batch'), the batch is sharded across
+    devices; B must be divisible by the device count.
+    """
+    solver = build_solver(mop, algo_config, dtype)
+    x0_batch = jnp.asarray(x0_batch, dtype)
+
+    run = jax.vmap(solver.solve)
+    if mesh is not None:
+        in_sharding = NamedSharding(mesh, P("batch", None))
+        run = jax.jit(run, in_shardings=(in_sharding,))
+        x0_batch = jax.device_put(x0_batch, in_sharding)
+    else:
+        run = jax.jit(run)
+    return run(x0_batch)
+
+
+def default_mesh(axis: str = "batch") -> Mesh:
+    devs = np.array(jax.devices())
+    return Mesh(devs, (axis,))

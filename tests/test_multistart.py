@@ -1,0 +1,78 @@
+"""Multistart vmap/sharding harness + benchmark problem tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morbit_tpu.core.config import AlgorithmConfig
+from morbit_tpu.models.configs import RbfConfig
+from morbit_tpu.parallel.multistart import default_mesh, multistart_optimize
+from morbit_tpu.problems.synthetic import (
+    halton,
+    halton_starts,
+    make_dtlz,
+    make_two_parabolas,
+    make_zdt,
+    zdt_objectives,
+)
+
+
+def test_halton_low_discrepancy():
+    pts = halton(100, 3)
+    assert pts.shape == (100, 3)
+    assert np.all(pts >= 0) and np.all(pts <= 1)
+    # base-2 first column: 1/2, 1/4, 3/4, ...
+    assert np.allclose(pts[:3, 0], [0.5, 0.25, 0.75])
+
+
+def test_zdt1_known_values():
+    f1, f2 = zdt_objectives("zdt1", 5)
+    x = jnp.zeros(5)
+    assert np.isclose(float(f1(x)), 0.0)
+    assert np.isclose(float(f2(x)), 1.0)  # g=1, f2 = 1-sqrt(0) = 1
+    x = jnp.array([1.0, 0, 0, 0, 0])
+    assert np.isclose(float(f2(x)), 0.0)  # on the Pareto front
+
+
+def test_multistart_vmap_two_parabolas():
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    x0 = halton_starts(8, mop.lb, mop.ub)
+    res = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    xs = np.asarray(res.x)
+    assert xs.shape == (8, 2)
+    # every run lands near the Pareto set (diagonal)
+    assert np.all(np.abs(xs[:, 0] - xs[:, 1]) < 0.3)
+    # runs terminate independently
+    assert np.all(np.asarray(res.stop_code) > 1)
+
+
+def test_multistart_sharded_mesh():
+    mesh = default_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+    mop = make_two_parabolas(lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=5, qp_iters=100)
+    x0 = halton_starts(16, mop.lb, mop.ub)
+    res = multistart_optimize(mop, x0, ac, dtype=jnp.float64, mesh=mesh)
+    assert np.asarray(res.x).shape == (16, 2)
+    assert np.all(np.isfinite(np.asarray(res.fx)))
+
+
+def test_zdt_exact_solve_runs():
+    mop = make_zdt("zdt1", 5)
+    res = multistart_optimize(mop, halton_starts(4, mop.lb, mop.ub),
+                              AlgorithmConfig(max_iter=10, qp_iters=100),
+                              dtype=jnp.float64)
+    fx = np.asarray(res.fx)
+    assert np.all(np.isfinite(fx))
+    # criticality decreased vs start: f2 should drop toward the front
+    assert np.all(fx[:, 1] < 6.0)
+
+
+def test_dtlz2_runs():
+    mop = make_dtlz(2, 4, M=2)
+    res = multistart_optimize(mop, halton_starts(2, mop.lb, mop.ub),
+                              AlgorithmConfig(max_iter=8, qp_iters=100),
+                              dtype=jnp.float64)
+    assert np.all(np.isfinite(np.asarray(res.fx)))
