@@ -121,9 +121,6 @@ class Solver:
         self.container = SurrogateContainer(mop, dtype, ac, self.scal, self.db_capacity)
 
         self.desc_cfg = resolve_descent_config(ac.descent_method)
-        if not isinstance(self.desc_cfg, SteepestDescentConfig):
-            raise NotImplementedError(
-                "only steepest descent is wired up so far; PS lands next")
 
         self.filter_mode = "dummy" if mop.m_ce + mop.m_ci == 0 else ac.filter_type
         self.f_dim = mop.m_obj if self.filter_mode == "strict" else 1
@@ -194,14 +191,90 @@ class Solver:
             b_ineq=jnp.concatenate(parts_bi),
         )
 
-    def _get_criticality(self, groups, x_s, x_n_s, l_e_n, l_i_n):
-        """``get_criticality`` for steepest descent (``descent.jl:187-241``)."""
-        Dm = self.container.jac_objectives(groups, x_n_s)
-        lin = self._linearized_constraints_at(groups, x_s, x_n_s, l_e_n, l_i_n)
-        d, omega = steepest_descent_direction(
-            x_n_s, Dm, self.scal.lb_scaled, self.scal.ub_scaled, lin,
-            normalize=self.desc_cfg.normalize, qp_iters=self.ac.qp_iters)
-        return omega, d
+    def _get_criticality(self, groups, x_s, x_n_s, l_e_n, l_i_n, fx_n, delta):
+        """``get_criticality`` dispatch (``descent.jl:19-25``).
+
+        Returns ``(omega, payload)`` where the payload is the descent
+        direction for steepest descent, or the PS trial point."""
+        if isinstance(self.desc_cfg, SteepestDescentConfig):
+            Dm = self.container.jac_objectives(groups, x_n_s)
+            lin = self._linearized_constraints_at(groups, x_s, x_n_s, l_e_n, l_i_n)
+            d, omega = steepest_descent_direction(
+                x_n_s, Dm, self.scal.lb_scaled, self.scal.ub_scaled, lin,
+                normalize=self.desc_cfg.normalize, qp_iters=self.ac.qp_iters)
+            return omega, d
+        return self._ps_criticality(groups, x_s, x_n_s, fx_n, delta)
+
+    def _ps_criticality(self, groups, x_s, x_n_s, fx_n, delta):
+        """Pascoletti-Serafini descent (``descent.jl:512-581``).
+
+        ``min t s.t. m(chi) <= m(x_n) + t*r`` over the local box with the
+        surrogate/linear constraints. The NLopt :GN_ISRES global stage and
+        local polish are replaced by a Halton-grid sweep + monotone projected
+        gradient refinement on the penalized scalarization (surrogates are
+        cheap and differentiable on device). Returns (omega = |t*|,
+        x_trial)."""
+        from morbit_tpu.ops.boxopt import halton_grid, maximize_in_box
+
+        cfg = self.desc_cfg
+        dtype = self.dtype
+        n = self.mop.n_vars
+        lb_eff, ub_eff = local_bounds_pair = (
+            jnp.maximum(self.scal.lb_scaled, x_s - delta),
+            jnp.minimum(self.scal.ub_scaled, x_s + delta))
+        grid = halton_grid(cfg.n_samples, n)
+
+        def penalty(chi):
+            pen = jnp.asarray(0.0, dtype)
+            if self.mop.m_ce > 0:
+                pen = pen + jnp.sum(self.container.eval_nl_eq_raw(groups, chi) ** 2)
+            if self.mop.m_ci > 0:
+                pen = pen + jnp.sum(
+                    jnp.maximum(self.container.eval_nl_ineq_raw(groups, chi), 0.0) ** 2)
+            if self.A_eq_s.shape[0]:
+                pen = pen + jnp.sum((self.A_eq_s @ chi - self.b_eq_s) ** 2)
+            if self.A_ineq_s.shape[0]:
+                pen = pen + jnp.sum(
+                    jnp.maximum(self.A_ineq_s @ chi - self.b_ineq_s, 0.0) ** 2)
+            return pen
+
+        PEN_W = jnp.asarray(1e5, dtype)
+
+        # objective-space direction (``_get_global_dir`` + local ideal point)
+        if len(cfg.reference_direction):
+            r = jnp.asarray(cfg.reference_direction, dtype)
+        elif len(cfg.reference_point):
+            r = fx_n - jnp.asarray(cfg.reference_point, dtype)
+        else:
+            ideals = []
+            for l in range(self.mop.m_obj):
+                f_l = lambda chi, l=l: -(self.container.eval_objectives_raw(
+                    groups, chi)[l] + PEN_W * penalty(chi))
+                _, v = maximize_in_box(f_l, lb_eff, ub_eff, grid,
+                                       iters=cfg.polish_iters)
+                ideals.append(-v)
+            r = fx_n - jnp.stack(ideals)
+
+        mx = self.container.eval_objectives_raw(groups, x_n_s)
+
+        def t_pure(chi):
+            m = self.container.eval_objectives_raw(groups, chi)
+            return jnp.max((m - mx) / r)
+
+        def t_pen(chi):
+            return -(t_pure(chi) + PEN_W * penalty(chi))
+
+        x_best, neg_best = maximize_in_box(
+            t_pen, lb_eff, ub_eff, grid, iters=cfg.polish_iters,
+            extra_starts=x_n_s[None, :])
+        tau = jnp.clip(t_pure(x_best), -1.0, 0.0)
+        feasible = penalty(x_best) <= 1e-8
+
+        critical = jnp.any(r <= 0)
+        bad = critical | (~feasible) | (~jnp.all(jnp.isfinite(x_best)))
+        x_trial = jnp.where(bad, x_n_s, x_best)
+        omega = jnp.where(bad, 0.0, jnp.abs(tau))
+        return omega, x_trial
 
     # ------------------------------------------------------------- initialization
     def initialize(self, x0) -> SolverState:
@@ -546,7 +619,8 @@ class Solver:
         dtype = self.dtype
 
         omega, d = self._get_criticality(
-            inter.groups, state.x_s, inter.x_s, inter.l_e, inter.l_i)
+            inter.groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
+            inter.fx, state.delta)
 
         theta_n_zero = self._violation_zero(theta_n)
         theta_k_zero = self._violation_zero(theta_k)
@@ -593,7 +667,8 @@ class Solver:
                     groups, inter.x_s, inter.x_indices, delta0,
                     ensure_fully_linear=True)
                 omega, d = self._get_criticality(
-                    groups, state.x_s, inter.x_s, inter.l_e, inter.l_i)
+                    groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
+                    inter.fx, delta0)
                 do_loops = jnp.where(
                     self.container.fully_linear(groups),
                     delta0 > mu * omega, False)
@@ -623,11 +698,15 @@ class Solver:
                 def work(c):
                     groups, delta, omega, d, n_loops, exit_c, done = c
                     delta = gamma_c * delta
+                    # NOTE: the reference shrinks Delta only in a local
+                    # variable — the rebuild still sees the iterate's radius
+                    # (``algorithm.jl:575-579``); mirrored for parity.
                     groups = self.container.update(
-                        groups, inter.x_s, inter.x_indices, delta,
+                        groups, inter.x_s, inter.x_indices, delta0,
                         ensure_fully_linear=True)
                     omega, d = self._get_criticality(
-                        groups, state.x_s, inter.x_s, inter.l_e, inter.l_i)
+                        groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
+                        inter.fx, delta0)
                     tol_exit = (delta <= ac.delta_tol_abs) | \
                         self._omega_tests(omega, delta) | \
                         (~self.container.fully_linear(groups))
@@ -680,19 +759,26 @@ class Solver:
         x_n_s = inter.x_s
         groups = inter.groups
 
-        # ---- initial stepsize + backtracking (``compute_descent_step``)
-        sigma = initial_stepsize(x_s, x_n_s, d, state.delta,
-                                 self.scal.lb_scaled, self.scal.ub_scaled, dtype)
+        # ---- trial point from the descent payload
+        if isinstance(self.desc_cfg, SteepestDescentConfig):
+            # initial stepsize + backtracking (``compute_descent_step``)
+            sigma = initial_stepsize(x_s, x_n_s, d, state.delta,
+                                     self.scal.lb_scaled, self.scal.ub_scaled,
+                                     dtype)
 
-        def eval_mx(groups, xq):
-            return self.container.eval_objectives(groups, xq)
+            def eval_mx(groups, xq):
+                return self.container.eval_objectives(groups, xq)
 
-        x_trial_s, mx_trial_bt, step, groups = backtrack(
-            x_n_s, d, sigma, omega, eval_mx, groups, self.desc_cfg)
-        # degenerate stepsize -> stay (``descent.jl:312-317``)
-        usable = sigma > self.desc_cfg.min_stepsize
-        x_trial_s = jnp.where(usable, x_trial_s, x_n_s)
-        omega = jnp.where(usable, omega, 0.0)
+            x_trial_s, mx_trial_bt, step, groups = backtrack(
+                x_n_s, d, sigma, omega, eval_mx, groups, self.desc_cfg)
+            # degenerate stepsize -> stay (``descent.jl:312-317``)
+            usable = sigma > self.desc_cfg.min_stepsize
+            x_trial_s = jnp.where(usable, x_trial_s, x_n_s)
+            omega = jnp.where(usable, omega, 0.0)
+        else:
+            # Pascoletti-Serafini: the criticality payload IS the trial point
+            # (``compute_descent_step`` fallback, ``descent.jl:36-41``)
+            x_trial_s = d
 
         x_trial = scaling.untransform(self.scal, x_trial_s)
 

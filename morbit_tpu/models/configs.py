@@ -115,7 +115,7 @@ class LagrangeConfig:
     gradient ascent on |l_i| over the scaled box (SURVEY.md §7 hard part 4).
     """
 
-    degree: int = 1
+    degree: int = 2
     theta_enlarge: float = 2.0
     epsilon_accept: float = 1e-6
     lambda_poise: float = 1.5

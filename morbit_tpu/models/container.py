@@ -140,7 +140,7 @@ class SurrogateContainer:
         return tuple(out)
 
     # ------------------------------------------------------------- model evals
-    def _gather(self, states, x_s, which, role):
+    def _gather(self, states, x_s, which, role, counted=True):
         """Evaluate/differentiate group models, scatter into a role vector."""
         n = self.mop.n_vars
         dt = self.dtype
@@ -158,7 +158,7 @@ class SurrogateContainer:
             st = states[g.index]
             if which == "eval":
                 vals = ops.eval(st.model, x_s)
-                if ops.counts_on_eval:
+                if ops.counts_on_eval and counted:
                     new_states[g.index] = st._replace(n_evals=st.n_evals + 1)
             else:
                 vals = ops.jac(st.model, x_s)
@@ -171,6 +171,20 @@ class SurrogateContainer:
         """``eval_container_objectives_at_scaled_site``
         (``SurrogateContainer.jl:234-269``)."""
         return self._gather(states, x_s, "eval", OBJECTIVE)
+
+    def eval_objectives_raw(self, states, x_s):
+        """Model values without eval counting (used inside vmapped sweeps
+        of the PS/ideal-point subsolvers where counters cannot thread)."""
+        out, _ = self._gather(states, x_s, "eval", OBJECTIVE, counted=False)
+        return out
+
+    def eval_nl_eq_raw(self, states, x_s):
+        out, _ = self._gather(states, x_s, "eval", NL_EQ, counted=False)
+        return out
+
+    def eval_nl_ineq_raw(self, states, x_s):
+        out, _ = self._gather(states, x_s, "eval", NL_INEQ, counted=False)
+        return out
 
     def jac_objectives(self, states, x_s):
         out, _ = self._gather(states, x_s, "jac", OBJECTIVE)

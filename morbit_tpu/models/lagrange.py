@@ -1,16 +1,244 @@
-"""Lagrange interpolation surrogates (degree 1/2) — placeholder.
+"""Lagrange interpolation surrogates (degree 1/2).
 
-Reference: ``src/models/LagrangeModel.jl`` (poised set via Conn et al.
-Algorithm 6.2, Lambda-poisedness via Algorithm 6.3). Full implementation
-lands after the end-to-end slice; see SURVEY.md §7 step 9.
+Reference: ``src/models/LagrangeModel.jl``. Polynomials are represented as
+coefficient vectors over the canonical monomial basis (exponent rows from the
+non-negative solutions of ``e_1 + ... + e_n <= d``, ``LagrangeModel.jl:163-175``),
+so the Lagrange basis is a dense (p, p) matrix and every polynomial operation
+is a GEMM:
+
+* poised-set selection is Conn et al. Algorithm 6.2 (``:217-288``): pick the
+  candidate maximizing ``|l_i|``; when no candidate passes, maximize ``|l_i|``
+  over ``[0,1]^n`` — the NLopt BOBYQA call is replaced by a batched
+  Halton-grid sweep + projected gradient ascent (:mod:`morbit_tpu.ops.boxopt`);
+* Lambda-poisedness is Algorithm 6.3 point swaps (``:310-382``) with a
+  static loop bound;
+* basis orthogonalization (``orthogonalize_polys``, ``:184-190``) is a rank-1
+  matrix update.
+
+The set lives in ``[0,1]^n`` relative to the enlarged trust-region box and is
+unscaled into the database (``_consume_points``, ``:444-462``); evaluation
+rescales sites into the box, replacing the reference's polynomial
+substitution trick (``:464-473``).
 """
 
 from __future__ import annotations
 
-from morbit_tpu.models.base import SurrogateOps
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morbit_tpu.core import database as dbm
+from morbit_tpu.models.base import ModelContext, SurrogateOps
+from morbit_tpu.ops.boxopt import halton_grid, maximize_in_box
+from morbit_tpu.ops.geometry import local_bounds
+
+
+def monomial_exponents(n_vars: int, degree: int) -> np.ndarray:
+    """Exponent rows of the canonical basis of ``Pi_n^d`` in degree-ascending
+    order (``non_negative_ineq_solutions``, ``LagrangeModel.jl:163-166``)."""
+    rows = []
+    for d in range(degree + 1):
+        for combo in itertools.combinations_with_replacement(range(n_vars), d):
+            e = np.zeros(n_vars, dtype=np.int32)
+            for i in combo:
+                e[i] += 1
+            rows.append(e)
+    return np.stack(rows) if rows else np.zeros((1, n_vars), np.int32)
+
+
+class LagrangeState(NamedTuple):
+    B: jax.Array       # (p, p) Lagrange basis coefficients over monomials
+    coef: jax.Array    # (p, m) interpolation coefficients (B^T Y)
+    idx: jax.Array     # (p,) int32 database rows of the poised points
+    lb: jax.Array      # (n,) box used for the [0,1]^n parametrization
+    ub: jax.Array
+    fully_linear: jax.Array
 
 
 class LagrangeOps(SurrogateOps):
     def __init__(self, group, n_vars, dtype, ac, scal):
-        raise NotImplementedError(
-            "LagrangeConfig surrogates are not implemented yet")
+        super().__init__(group, n_vars, dtype, ac, scal)
+        cfg = self.cfg
+        self.E = monomial_exponents(n_vars, cfg.degree)   # (p, n) static
+        self.p = self.E.shape[0]
+        grid_n = min(50 * n_vars, 512)
+        self.grid = halton_grid(grid_n, n_vars)           # static constants
+        self.zero_tol = float(min(np.finfo(np.float64).eps * 100,
+                                  np.finfo(np.float16).eps * 10))
+        self.lambda_max_loops = 2 * self.p
+        self.pga_iters = cfg.ascent_iters
+
+    # ---- polynomial helpers (all GEMMs) -------------------------------------
+    def _phi(self, u):
+        """Monomial vector at one point u -> (p,). Degree <= 2, so the
+        integer powers are spelled out (avoids NaN from float powers of
+        negative bases when evaluating outside [0,1]^n)."""
+        E = jnp.asarray(self.E)
+        ub = u[None, :]
+        terms = jnp.where(E == 0, 1.0, jnp.where(E == 1, ub, ub * ub))
+        return jnp.prod(terms, axis=1)
+
+    def _orthogonalize(self, B, u, i):
+        """Normalize row i at u and sweep it out of the others
+        (``orthogonalize_polys``, ``LagrangeModel.jl:184-190``)."""
+        phi = self._phi(u)
+        vals = B @ phi                       # (p,)
+        denom = vals[i]
+        denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+        bi = B[i] / denom
+        B = B - jnp.outer(vals, bi)
+        B = B.at[i].set(bi)
+        return B
+
+    def _maximize_abs(self, b_row, extra_starts=None):
+        """max |l(u)| over [0,1]^n via grid + PGA (BOBYQA replacement)."""
+        f = lambda u: jnp.abs(b_row @ self._phi(u))
+        lb = jnp.zeros((self.n_vars,), self.dtype)
+        ub = jnp.ones((self.n_vars,), self.dtype)
+        return maximize_in_box(f, lb, ub, self.grid.astype(np.float64),
+                               iters=self.pga_iters, extra_starts=extra_starts)
+
+    # ---- state ----------------------------------------------------------------
+    def init_state(self):
+        n, m, p = self.n_vars, self.group.m, self.p
+        dt = self.dtype
+        return LagrangeState(
+            B=jnp.eye(p, dtype=dt),
+            coef=jnp.zeros((p, m), dt),
+            idx=jnp.zeros((p,), jnp.int32),
+            lb=jnp.zeros((n,), dt),
+            ub=jnp.ones((n,), dt),
+            fully_linear=jnp.asarray(False),
+        )
+
+    # ---- phase 1 ---------------------------------------------------------------
+    def prepare(self, state, db, ctx: ModelContext, ensure_fully_linear: bool):
+        cfg = self.cfg
+        p, n = self.p, self.n_vars
+        dt = self.dtype
+        x = ctx.x_s
+        lb, ub = local_bounds(x, ctx.delta * cfg.theta_enlarge,
+                              self.scal.lb_scaled, self.scal.ub_scaled)
+        w = ub - lb
+
+        # candidates: [x; db points in box], scaled to [0,1]^n (``:493-496``)
+        cap = db.X.shape[0]
+        in_box = dbm.results_in_box(db, lb, ub, exclude_index=ctx.x_index)
+        cand_mask = jnp.concatenate([jnp.ones((1,), bool), in_box])
+        cand_idx = jnp.concatenate(
+            [ctx.x_index[None].astype(jnp.int32),
+             jnp.arange(cap, dtype=jnp.int32)])
+        cand_pts = jnp.concatenate([x[None, :], db.X], axis=0)
+        cand_unit = (cand_pts - lb[None, :]) / w[None, :]
+
+        # ---- Algorithm 6.2 (``get_poised_set``)
+        E_dtype = dt
+        B = jnp.eye(p, dtype=E_dtype)
+        phis = jax.vmap(self._phi)(cand_unit)            # (C, p) — one GEMM per loop below
+        points = jnp.zeros((p, n), E_dtype)
+        src = -jnp.ones((p,), jnp.int32)                 # db index or -1 (new)
+        avail = cand_mask
+
+        def pick_body(i, carry):
+            B, points, src, avail = carry
+            vals = jnp.abs(phis @ B[i])                  # |l_i| at candidates
+            vals = jnp.where(avail, vals, -jnp.inf)
+            j = jnp.argmax(vals)
+            l_max = vals[j]
+            use_cand = l_max > self.zero_tol
+
+            x_opt, _ = self._maximize_abs(B[i])
+            u_new = jnp.where(use_cand, cand_unit[j], x_opt)
+            points = points.at[i].set(u_new)
+            src = src.at[i].set(jnp.where(use_cand, cand_idx[j], -1))
+            remove = use_cand & (jnp.arange(avail.shape[0]) == j)
+            avail = avail & (~remove)
+            B = self._orthogonalize(B, u_new, i)
+            return B, points, src, avail
+
+        B, points, src, avail = jax.lax.fori_loop(
+            0, p, pick_body, (B, points, src, avail))
+
+        fully_linear = jnp.asarray(False)
+
+        # ---- Algorithm 6.3 (``make_set_lambda_poised``)
+        if ensure_fully_linear or not cfg.allow_not_linear:
+            LAMBDA = jnp.asarray(cfg.lambda_poise, dt)
+
+            def lam_body(k, carry):
+                B, points, src, done = carry
+
+                def one_poly(i):
+                    x_i, v_i = self._maximize_abs(B[i], extra_starts=points[i][None, :])
+                    return x_i, v_i
+
+                xs, vs = jax.vmap(one_poly)(jnp.arange(p))
+                exceeds = vs > LAMBDA
+                # the reference discards the slot holding x last
+                # (``skip_indices``, ``LagrangeModel.jl:511-515``)
+                center_slot = jnp.argmax(src == cand_idx[0])
+                pri = exceeds & (jnp.arange(p) != center_slot)
+                any_pri = jnp.any(pri)
+                any_exc = jnp.any(exceeds)
+                i_k = jnp.where(any_pri, jnp.argmax(pri), jnp.argmax(exceeds))
+                do_swap = any_exc & (~done)
+
+                u_new = xs[i_k]
+                B2 = self._orthogonalize(B, u_new, i_k)
+                points2 = points.at[i_k].set(u_new)
+                src2 = src.at[i_k].set(-1)
+                B = jnp.where(do_swap, B2, B)
+                points = jnp.where(do_swap, points2, points)
+                src = jnp.where(do_swap, src2, src)
+                done = done | (~any_exc)
+                return B, points, src, done
+
+            B, points, src, _ = jax.lax.fori_loop(
+                0, self.lambda_max_loops, lam_body,
+                (B, points, src, jnp.asarray(False)))
+            fully_linear = jnp.asarray(True)
+
+        # ---- consume points: add new sites to the db (``_consume_points``)
+        idx = jnp.zeros((p,), jnp.int32)
+
+        def add_body(i, carry):
+            db, idx = carry
+            is_new = src[i] < 0
+            site = lb + w * points[i]
+            db, new_id = dbm.add_site(db, site, do_add=is_new)
+            idx = idx.at[i].set(jnp.where(is_new, new_id, src[i]))
+            return db, idx
+
+        db, idx = jax.lax.fori_loop(0, p, add_body, (db, idx))
+
+        state = state._replace(B=B, idx=idx, lb=lb, ub=ub,
+                               fully_linear=fully_linear)
+        return state, db
+
+    def prepare_improve(self, state, db, ctx: ModelContext):
+        """Improvement = rebuild ensuring Lambda-poisedness (the reference
+        delegates improve to an update with ensure_fully_linear)."""
+        return self.prepare(state, db, ctx, ensure_fully_linear=True)
+
+    # ---- phase 2 ---------------------------------------------------------------
+    def fit(self, state, db, ctx: ModelContext):
+        _, Y = dbm.get_rows(db, state.idx)               # (p, m)
+        coef = state.B.T @ Y                             # m(x) = coef' phi(u)
+        return state._replace(coef=coef)
+
+    # ---- evaluation ------------------------------------------------------------
+    def eval(self, state, x_s):
+        u = (x_s - state.lb) / (state.ub - state.lb)
+        return state.coef.T @ self._phi(u)
+
+    def jac(self, state, x_s):
+        return jax.jacfwd(lambda xx: self.eval(state, xx))(x_s)
+
+    def fully_linear(self, state):
+        return state.fully_linear
+
+    def set_fully_linear(self, state, val):
+        return state._replace(fully_linear=jnp.asarray(val))

@@ -231,6 +231,10 @@ class RbfOps(SurrogateOps):
         idx, count = _masked_append(idx, count, r2_idx, r2_cnt)
         idx, count = _masked_append(idx, count, r3_idx, n_new)
 
+        # ---- round 4: Cholesky-bounded extra points (``:641-652``)
+        if cfg.optimized_sampling and self.max_points > n + 1:
+            idx, count = self._round4(db, idx, count, lb2, ub2, ctx)
+
         state = state._replace(
             idx=idx,
             n_train=count,
@@ -240,6 +244,34 @@ class RbfOps(SurrogateOps):
             dirs_count=dirs_count.astype(jnp.int32),
         )
         return state, db
+
+    def _round4(self, db, idx, count, lb2, ub2, ctx):
+        """Accept extra in-box database points while the Cholesky factor of
+        ``Z' Phi Z`` stays bounded (``_rbf_round4``, ``RbfModel.jl:352-499``)."""
+        from morbit_tpu.models.rbf_round4 import run_round4
+
+        cap = db.X.shape[0]
+        in_box = dbm.results_in_box(db, lb2, ub2)
+        in_training = jnp.any(
+            (jnp.arange(cap)[:, None] == idx[None, :])
+            & (jnp.arange(self.cap_train)[None, :] < count), axis=1)
+        cand = in_box & (~in_training)
+
+        init_sites, _ = dbm.get_rows(db, idx)
+        param = self._resolve_param(ctx.delta)
+        st4 = run_round4(
+            db.X, cand, init_sites, count,
+            kernel=self.kernel, param=param, poly_deg=self.poly_deg,
+            max_points=self.max_points,
+            chol_pivot=jnp.asarray(self.cfg.theta_pivot_cholesky ** 2, self.dtype),
+            max_candidates=min(cap, 10 * self.max_points),
+        )
+        # append accepted rows in database (insertion) order
+        acc = st4.accepted
+        pos = count + jnp.cumsum(acc.astype(jnp.int32)) - 1
+        target = jnp.where(acc, pos, self.cap_train)
+        idx = idx.at[target].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+        return idx, st4.N
 
     # ------------------------------------------------------------------ improve
     def prepare_improve(self, state, db, ctx: ModelContext):
