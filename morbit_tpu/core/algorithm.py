@@ -93,7 +93,7 @@ class Solver:
     ``initialize`` / ``iterate`` / ``solve`` functions."""
 
     def __init__(self, mop: CompiledMOP, ac: Optional[AlgorithmConfig] = None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, x0_hint=None):
         self.mop = mop
         self.ac = ac or AlgorithmConfig()
         self.dtype = dtype
@@ -101,7 +101,19 @@ class Solver:
 
         lb = jnp.asarray(mop.lb, dtype)
         ub = jnp.asarray(mop.ub, dtype)
-        self.scal = scaling.get_var_scaler(lb, ub, ac.var_scaler)
+        all_finite = bool(np.all(np.isfinite(mop.lb)) and np.all(np.isfinite(mop.ub)))
+        if ac.var_scaler == "auto" and not all_finite and x0_hint is not None:
+            # finite-difference/autodiff Jacobian scaling estimation
+            # (``get_var_scaler`` :auto branch, ``VarScaler.jl:214-234``)
+            rng = np.random.default_rng(1234)
+            x0p = np.clip(np.asarray(x0_hint, float)
+                          + rng.uniform(-0.1, 1.0, mop.n_vars), mop.lb, mop.ub)
+            J = np.vstack([
+                np.asarray(g.jac_unscaled(jnp.asarray(x0p, dtype)))
+                for g in mop.groups])
+            self.scal = scaling.estimate_auto_scaler(J, lb, ub)
+        else:
+            self.scal = scaling.get_var_scaler(lb, ub, ac.var_scaler)
 
         # linear constraints transformed to scaled space
         # (``transformed_linear_constraints``, ``AbstractMOPInterface.jl:476``):
@@ -277,8 +289,14 @@ class Solver:
         return omega, x_trial
 
     # ------------------------------------------------------------- initialization
-    def initialize(self, x0) -> SolverState:
-        """``initialize_data`` (``algorithm.jl:223-323``)."""
+    def initialize(self, x0, populated_db=None) -> SolverState:
+        """``initialize_data`` (``algorithm.jl:223-323``).
+
+        ``populated_db`` recycles the evaluation databases of a previous run
+        on the same problem (the reference's ``optimize(...; populated_db)``
+        checkpoint/resume path, ``algorithm.jl:286-297``): pass a previous
+        ``OptimizeResult``/``SolverState`` or group-state tuple. Eval counters
+        reset (``reset_evals!``, ``algorithm.jl:237``); models are rebuilt."""
         mop = self.mop
         dtype = self.dtype
         x0 = jnp.asarray(x0, dtype)
@@ -288,7 +306,16 @@ class Solver:
         x_s = scaling.transform(self.scal, x)
 
         groups = self.container.init_group_states()
-        fx, c_e, c_i, groups, x_indices = self.container.evaluate_true(groups, x_s)
+        if populated_db is not None:
+            prev = populated_db
+            if isinstance(prev, OptimizeResult):
+                prev = prev.state
+            if isinstance(prev, SolverState):
+                prev = prev.groups
+            groups = tuple(
+                fresh._replace(db=old.db) for fresh, old in zip(groups, prev))
+        fx, c_e, c_i, groups, x_indices = self.container.ensure_evaluated(
+            groups, x_s)
         l_e, l_i = self._linear_values(x_s)
         delta0 = jnp.asarray(self.ac.delta_0, dtype)
 
@@ -931,18 +958,41 @@ def initialize_state(mop, x0, algo_config=None, dtype=jnp.float64):
 
 
 def optimize(mop, x0, algo_config: Optional[AlgorithmConfig] = None,
-             dtype=jnp.float64, jit: bool = True, **kwargs) -> OptimizeResult:
+             dtype=jnp.float64, jit: bool = True, populated_db=None,
+             verbosity: int = 0, **kwargs) -> OptimizeResult:
     """``optimize(mop, x0; ...)`` (``algorithm.jl:919-958``).
 
     Extra keyword arguments are promoted into the config like the
     reference's kwargs-to-config path (``algorithm.jl:198-221``).
-    """
+    ``populated_db`` recycles a previous run's databases; ``verbosity >= 1``
+    prints the final report, ``>= 2`` per-iteration lines (host-side, from
+    the stamped trajectory)."""
     if algo_config is None:
         algo_config = AlgorithmConfig(**kwargs)
     elif kwargs:
         algo_config = dataclasses.replace(algo_config, **kwargs)
     cmop = mop if isinstance(mop, CompiledMOP) else compile_mop(
         mop, algo_config.combine_models)
-    solver = Solver(cmop, algo_config, dtype)
-    fn = jax.jit(solver.solve) if jit else solver.solve
-    return fn(jnp.asarray(x0, dtype))
+    solver = Solver(cmop, algo_config, dtype, x0_hint=x0)
+
+    if populated_db is None:
+        def full(x0):
+            return solver.solve_from_state(solver.initialize(x0))
+        fn = jax.jit(full) if jit else full
+        state = fn(jnp.asarray(x0, dtype))
+    else:
+        def full(x0, prev):
+            return solver.solve_from_state(solver.initialize(x0, prev))
+        fn = jax.jit(full) if jit else full
+        state = fn(jnp.asarray(x0, dtype), populated_db)
+
+    result = OptimizeResult(
+        x=state.x, fx=state.fx, stop_code=state.stop_code,
+        n_iterations=state.iter_counter - 1,
+        n_evals=solver._total_evals(state.groups),
+        state=state,
+    )
+    if verbosity >= 1:
+        from morbit_tpu.utils.logging import print_report
+        print_report(result, verbosity=verbosity)
+    return result

@@ -59,6 +59,53 @@ def unit_cube_scaling(lb: jax.Array, ub: jax.Array) -> VarScaler:
     )
 
 
+MIN_SCALING_FACTOR = 1e-8
+MAX_SCALING_FACTOR = 1e8
+
+
+def estimate_auto_scaler(jacobian: np.ndarray, lb, ub) -> VarScaler:
+    """Jacobian-based scaling-factor estimation for (partially) unbounded
+    problems (Lasdon & Beck style; ``_estimate_linear_scaling`` +
+    ``_scaling_factors``, ``VarScaler.jl:139-193``).
+
+    Bounded coordinates get unit-cube factors ``1/w``; unbounded ones get
+    ``exp(mean(log |J_col|))``-style factors matched to the bounded columns'
+    mean magnitude, clipped to [1e-8, 1e8]."""
+    J = np.asarray(jacobian, float)
+    lb = np.asarray(lb, float)
+    ub = np.asarray(ub, float)
+    w = ub - lb
+    bounded = np.isfinite(w)
+    factors = np.ones(J.shape[1])
+
+    def col_factor(col, target=None):
+        nz = col != 0
+        if not nz.any():
+            return 1.0
+        exp_arg = -np.sum(np.log(np.abs(col[nz])))
+        if target is not None:
+            exp_arg += np.sum(np.log(np.abs(target[nz])))
+        return float(np.exp(exp_arg / nz.sum()))
+
+    if bounded.any():
+        J_fin = J[:, bounded] / w[bounded][None, :]
+        target_val = np.mean(np.abs(J_fin), axis=1)
+        for j in np.where(~bounded)[0]:
+            factors[j] = col_factor(J[:, j], target_val)
+        factors[bounded] = 1.0 / w[bounded]
+    else:
+        for j in range(J.shape[1]):
+            factors[j] = col_factor(J[:, j])
+    factors = np.clip(factors, MIN_SCALING_FACTOR, MAX_SCALING_FACTOR)
+
+    dtype = jnp.result_type(float)
+    scale = jnp.asarray(factors, dtype)
+    lbj = jnp.asarray(lb, dtype)
+    ubj = jnp.asarray(ub, dtype)
+    return VarScaler(scale=scale, offset=jnp.zeros_like(scale),
+                     lb_scaled=scale * lbj, ub_scaled=scale * ubj)
+
+
 def get_var_scaler(lb, ub, mode: str = "default") -> VarScaler:
     """Pick the scaler from the config setting (``VarScaler.jl:195-238``).
 

@@ -66,6 +66,19 @@ class SurrogateContainer:
         self.ops = tuple(
             make_ops(g, mop.n_vars, dtype, ac, scal) for g in mop.groups
         )
+        # cross-group RBF meta reuse: an RBF group inherits the rounds-1-3
+        # point set of an earlier RBF group with equal geometry signature
+        # (``_exploit_other_rbf_metas!``, ``RbfModel.jl:311-342``)
+        self.reuse_from = []
+        for i, g in enumerate(mop.groups):
+            src = None
+            if isinstance(g.cfg, RbfConfig):
+                for j in range(i):
+                    cj = mop.groups[j].cfg
+                    if isinstance(cj, RbfConfig) and cj.signature() == g.cfg.signature():
+                        src = j
+                        break
+            self.reuse_from.append(src)
 
     # ------------------------------------------------------------- state init
     def init_group_states(self):
@@ -97,6 +110,33 @@ class SurrogateContainer:
         fx, c_e, c_i = self.mop.scatter_role_vectors(group_vals, self.dtype)
         return fx, c_e, c_i, tuple(new_states), jnp.stack(x_indices)
 
+    def ensure_evaluated(self, states, x_s):
+        """Like :meth:`evaluate_true`, but reuse an existing database row with
+        the same site instead of re-evaluating (``ensure_contains_values!``,
+        used when recycling a populated database; ``algorithm.jl:289-295``)."""
+        from morbit_tpu.core import scaling as _sc
+
+        x = _sc.untransform(self.scal, x_s)
+        group_vals = []
+        new_states = []
+        x_indices = []
+        for g, st in zip(self.mop.groups, states):
+            db = st.db
+            hits = (jnp.all(db.X == x_s[None, :], axis=1)
+                    & dbm.valid_mask(db) & db.evaluated)
+            found = jnp.any(hits)
+            found_id = jnp.argmax(hits).astype(jnp.int32)
+            vals_new = g.eval_unscaled(x)
+            vals = jnp.where(found, db.Y[found_id], vals_new)
+            db, add_id = dbm.add_evaluated(db, x_s, vals, do_add=~found)
+            idx = jnp.where(found, found_id, add_id)
+            n_evals = st.n_evals + jnp.where(found, 0, 1)
+            group_vals.append(vals)
+            x_indices.append(idx)
+            new_states.append(st._replace(db=db, n_evals=n_evals))
+        fx, c_e, c_i = self.mop.scatter_role_vectors(group_vals, self.dtype)
+        return fx, c_e, c_i, tuple(new_states), jnp.stack(x_indices)
+
     # ------------------------------------------------------------ model update
     def _contexts(self, states, x_s, x_indices, delta):
         return [
@@ -120,9 +160,13 @@ class SurrogateContainer:
     def _two_phase(self, states, ctxs, ensure_fully_linear, improve):
         # phase 1
         mid = []
-        for ops, st, ctx in zip(self.ops, states, ctxs):
+        for gi, (ops, st, ctx) in enumerate(zip(self.ops, states, ctxs)):
             if improve:
                 model, db = ops.prepare_improve(st.model, st.db, ctx)
+            elif self.reuse_from[gi] is not None:
+                src = mid[self.reuse_from[gi]]
+                model, db = ops.prepare_with_reuse(
+                    st.model, st.db, ctx, src.model, src.db)
             else:
                 model, db = ops.prepare(st.model, st.db, ctx, ensure_fully_linear)
             mid.append(st._replace(model=model, db=db))

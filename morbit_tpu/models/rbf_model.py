@@ -133,6 +133,61 @@ class RbfOps(SurrogateOps):
         covers = n_new >= n_missing
         return sites, active, ok, any_fail, covers, n_new
 
+    def prepare_with_reuse(self, state, db, ctx: ModelContext,
+                           other_state, other_db):
+        """Transfer the geometry-only rounds 1-3 point set from another RBF
+        group with the same signature (``_exploit_other_rbf_metas!``,
+        ``RbfModel.jl:311-342``), then run round 4 on our own database.
+
+        Rounds 1-3 depend only on (theta_pivot, theta_enlarge_1/2,
+        optimized_sampling) — the signature — so the other group's training
+        sites are valid here. Each transferred site is located in (or added
+        to) this group's database by exact site match."""
+        cfg = self.cfg
+        cap = db.X.shape[0]
+
+        idx = jnp.zeros((self.cap_train,), jnp.int32)
+        idx = idx.at[0].set(ctx.x_index)
+
+        # transfer only the rounds-1-3 part (<= n+1 sites); round 4 points
+        # are kernel-dependent and recomputed below
+        n_13 = jnp.minimum(other_state.n_train, self.n_vars + 1)
+
+        def transfer(i, carry):
+            db, idx = carry
+            do = (i < n_13) & (i >= 1)
+            site = other_db.X[jnp.clip(other_state.idx[i], 0, cap - 1)]
+            # exact-match lookup in our own db (``ensure_contains_res_with_site!``)
+            hits = jnp.all(db.X == site[None, :], axis=1) & dbm.valid_mask(db)
+            found = jnp.any(hits)
+            found_id = jnp.argmax(hits).astype(jnp.int32)
+            db, new_id = dbm.add_site(db, site, do_add=do & (~found))
+            use_id = jnp.where(found, found_id, new_id)
+            idx = idx.at[jnp.clip(i, 0, self.cap_train - 1)].set(
+                jnp.where(do, use_id, idx[jnp.clip(i, 0, self.cap_train - 1)]))
+            return db, idx
+
+        db, idx = jax.lax.fori_loop(1, self.n_vars + 1, transfer, (db, idx))
+        count = n_13
+
+        state = state._replace(
+            idx=idx, n_train=count,
+            fully_linear=other_state.fully_linear,
+            dirs=other_state.dirs,
+            dirs_head=other_state.dirs_head,
+            dirs_count=other_state.dirs_count,
+        )
+
+        if cfg.optimized_sampling and self.max_points > self.n_vars + 1:
+            x = ctx.x_s
+            dt = self.dtype
+            delta_2 = jnp.asarray(cfg.theta_enlarge_2 * self.ac.delta_max, dt)
+            lb2, ub2 = local_bounds(x, delta_2, self.scal.lb_scaled,
+                                    self.scal.ub_scaled)
+            idx, count = self._round4(db, state.idx, state.n_train, lb2, ub2, ctx)
+            state = state._replace(idx=idx, n_train=count)
+        return state, db
+
     def prepare(self, state, db, ctx: ModelContext, ensure_fully_linear: bool):
         cfg = self.cfg
         n = self.n_vars

@@ -1,0 +1,61 @@
+"""Host-side run reporting.
+
+The reference installs a ConsoleLogger with four custom log levels
+(``src/custom_logging.jl:18-66``) and prints per-iteration banners and a
+final report (``algorithm.jl:651-659``, ``:890-897``, ``_fin_info_str``
+``:114-129``). Inside a jitted while-loop there is no iteration-time host
+printing; instead every iteration stamps the full ``IterSaveable`` record
+into the trajectory ring buffer, and these helpers render the same
+information after the run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from morbit_tpu.core.enums import ITER_TYPE, STOP_CODE
+
+
+def _fmt_vec(v, n=5):
+    v = np.asarray(v).ravel()
+    body = ", ".join(f"{x:.5f}" for x in v[:n])
+    return "[" + body + (", …" if v.size > n else "") + "]"
+
+
+def print_report(result, verbosity: int = 1, out=print):
+    """Final report (+ per-iteration lines at verbosity >= 2)."""
+    traj = result.state.traj
+    count = int(traj.count)
+    if verbosity >= 2:
+        for i in range(count):
+            stat = ITER_TYPE(int(traj.it_stat[i])).name
+            out(f"| iter {i:3d}  {stat:<14s} x={_fmt_vec(traj.x[i])} "
+                f"Δ={float(traj.delta[i]):.3e} ω={float(traj.omega[i]):.3e} "
+                f"ρ={float(traj.rho[i]):.3e} "
+                f"‖s‖={float(traj.steplength[i]):.3e}")
+    code = STOP_CODE(int(result.stop_code)).name
+    out("|--------------------------------------------")
+    out(f"| FINISHED ({code})")
+    out("|--------------------------------------------")
+    out(f"| Stopped in iteration:  {int(result.n_iterations)}")
+    out(f"| No. evaluations: {int(result.n_evals)}")
+    out("| final unscaled vectors:")
+    out(f"| iterate: {_fmt_vec(result.x, 10)}")
+    out(f"| value:   {_fmt_vec(result.fx, 10)}")
+
+
+def trajectory_arrays(result):
+    """Trimmed (count,) trajectory arrays for plotting/analysis — the
+    analogue of reading ``db.iter_data``
+    (``examples/example_two_parabolas.jl:76``)."""
+    traj = result.state.traj
+    c = int(traj.count)
+    return {
+        "x": np.asarray(traj.x[:c]),
+        "fx": np.asarray(traj.fx[:c]),
+        "delta": np.asarray(traj.delta[:c]),
+        "rho": np.asarray(traj.rho[:c]),
+        "omega": np.asarray(traj.omega[:c]),
+        "steplength": np.asarray(traj.steplength[:c]),
+        "it_stat": np.asarray(traj.it_stat[:c]),
+    }

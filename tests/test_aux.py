@@ -1,0 +1,69 @@
+"""Auxiliary subsystem tests: db recycling, verbosity report, auto scaler,
+RBF meta reuse, trajectory utilities."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from morbit_tpu.core.algorithm import optimize
+from morbit_tpu.core.mop import MOP
+from morbit_tpu.models.configs import RbfConfig
+from morbit_tpu.utils.logging import print_report, trajectory_arrays
+
+
+def _rbf_mop(kernel="multiquadric"):
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    cfg = RbfConfig(kernel=kernel)
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    return mop
+
+
+def test_populated_db_saves_evaluations():
+    """Database recycling (``algorithm.jl:286-297``,
+    ``example_two_parabolas.jl:179-190``)."""
+    mop = _rbf_mop()
+    res1 = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=10)
+    res2 = optimize(mop, jnp.array([2.0, -2.0]), max_iter=10,
+                    populated_db=res1.state.groups)
+    res3 = optimize(mop, jnp.array([2.0, -2.0]), max_iter=10)
+    assert int(res2.n_evals) < int(res3.n_evals)
+    assert np.all(np.isfinite(np.asarray(res2.x)))
+
+
+def test_auto_scaler_unbounded():
+    """:auto FD-Jacobian scaling for unbounded problems
+    (``VarScaler.jl:139-238``)."""
+    mop = MOP(2)
+    mop.add_exact_objective(lambda x: jnp.sum((100 * x - 1.0) ** 2))
+    mop.add_exact_objective(lambda x: jnp.sum((100 * x + 1.0) ** 2))
+    res = optimize(mop, jnp.array([-0.03, 0.025]), max_iter=25,
+                   var_scaler="auto")
+    x = np.asarray(res.x)
+    assert abs(x[0] - x[1]) < 2e-3  # Pareto set: diagonal in [-0.01, 0.01]
+
+
+def test_rbf_meta_reuse_shares_training_sets():
+    """Different kernels with equal geometry signature share rounds 1-3
+    point sets (``test/rbf_models.jl:121-168``)."""
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2),
+                      model_cfg=RbfConfig(kernel="cubic"))
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2),
+                      model_cfg=RbfConfig(kernel="gaussian"))
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=8)
+    g0, g1 = res.state.groups
+    n0 = int(g0.model.n_train)
+    n1 = int(g1.model.n_train)
+    k = min(n0, n1, 3)
+    s0 = np.asarray(g0.db.X)[np.asarray(g0.model.idx[:k])]
+    s1 = np.asarray(g1.db.X)[np.asarray(g1.model.idx[:k])]
+    assert np.allclose(s0, s1)
+
+
+def test_report_and_trajectory_utils(capsys):
+    res = optimize(_rbf_mop(), jnp.array([-3.0, 2.5]), max_iter=5, verbosity=2)
+    out = capsys.readouterr().out
+    assert "FINISHED" in out and "INITIALIZATION" in out
+    tr = trajectory_arrays(res)
+    assert tr["x"].shape[0] == int(res.state.traj.count)
+    assert np.isneginf(tr["omega"][0])
