@@ -45,7 +45,16 @@ NL_INEQ = "nl_ineq"
 class VecFun:
     """A (vector-valued) user function with model config and optional
     derivative callbacks (the ``VecFun``/``DiffFn`` analogue,
-    ``src/VecFun.jl:13-98``, ``src/DiffFn.jl:56-140``)."""
+    ``src/VecFun.jl:13-98``, ``src/DiffFn.jl:56-140``).
+
+    ``host=True`` marks a *black-box* (non-JAX) Python/NumPy callable: it is
+    bridged into the jitted solver with ``jax.pure_callback``. ``can_batch``
+    is the reference's batch-broadcast hook (``src/globals.jl:97-102``,
+    ``VecFun.jl:248-257``): the callable accepts a whole ``(B, n)`` batch and
+    returns ``(B, n_out)`` in one call, so the batched ``eval_missing`` pass
+    costs a single invocation. Host functions without a ``jac`` callback get
+    central finite differences (the ``FiniteDiffWrapper``, ``DiffFn.jl:56-140``).
+    """
 
     fn: Callable
     n_out: int
@@ -54,22 +63,57 @@ class VecFun:
     jac: Optional[Callable] = None      # x -> (n_out, n) Jacobian callback
     hess: Optional[Callable] = None     # x -> (n_out, n, n) Hessians callback
     max_evals: int = 2 ** 31 - 1
+    host: bool = False
+    can_batch: bool = False
+    fd_step: float = 1.49e-7            # ~10*sqrt(eps64), RFD default stepsize
 
     def eval(self, x: jax.Array) -> jax.Array:
+        if self.host:
+            shape = jax.ShapeDtypeStruct((self.n_out,), x.dtype)
+
+            def cb(xv):
+                # under vmap_method="expand_dims" the callback sees the whole
+                # (B, n) batch and must return (B, n_out) — the reference's
+                # can_batch broadcast contract (``VecFun.jl:248-257``)
+                out = np.asarray(self.fn(xv), dtype=xv.dtype)
+                return out.reshape(np.shape(xv)[:-1] + (self.n_out,))
+
+            vmap_method = "expand_dims" if self.can_batch else "sequential"
+            return jax.pure_callback(cb, shape, x, vmap_method=vmap_method)
         return jnp.atleast_1d(jnp.asarray(self.fn(x)))
 
     def jacobian(self, x: jax.Array) -> jax.Array:
-        """User callback > autodiff (``AutoDiffWrapper``, ``DiffFn.jl:56``)."""
+        """User callback > autodiff / finite differences
+        (``AutoDiffWrapper``/``FiniteDiffWrapper``, ``DiffFn.jl:56-148``)."""
+        n = x.shape[0]
         if self.jac is not None:
-            return jnp.reshape(jnp.asarray(self.jac(x)), (self.n_out, x.shape[0]))
-        return jnp.reshape(jax.jacfwd(self.eval)(x), (self.n_out, x.shape[0]))
+            return jnp.reshape(jnp.asarray(self.jac(x)), (self.n_out, n))
+        if self.host:
+            h = jnp.asarray(self.fd_step, x.dtype)
+            eye = jnp.eye(n, dtype=x.dtype)
+            plus = jax.vmap(self.eval)(x[None, :] + h * eye)    # (n, n_out)
+            minus = jax.vmap(self.eval)(x[None, :] - h * eye)
+            return ((plus - minus) / (2.0 * h)).T
+        return jnp.reshape(jax.jacfwd(self.eval)(x), (self.n_out, n))
 
     def hessians(self, x: jax.Array) -> jax.Array:
+        n = x.shape[0]
         if self.hess is not None:
-            n = x.shape[0]
             return jnp.reshape(jnp.asarray(self.hess(x)), (self.n_out, n, n))
-        return jax.jacfwd(jax.jacrev(self.eval))(x).reshape(
-            (self.n_out, x.shape[0], x.shape[0]))
+        if self.host:
+            h = jnp.asarray(self.fd_step ** 0.5, x.dtype)
+            eye = jnp.eye(n, dtype=x.dtype)
+
+            def jac_at(xi):
+                plus = jax.vmap(self.eval)(xi[None, :] + h * eye)
+                minus = jax.vmap(self.eval)(xi[None, :] - h * eye)
+                return ((plus - minus) / (2.0 * h)).T  # (n_out, n)
+
+            Jp = jax.vmap(lambda j: jac_at(x + h * eye[j]))(jnp.arange(n))
+            Jm = jax.vmap(lambda j: jac_at(x - h * eye[j]))(jnp.arange(n))
+            H = (Jp - Jm) / (2.0 * h)                  # (n, n_out, n)
+            return jnp.transpose(H, (1, 0, 2))
+        return jax.jacfwd(jax.jacrev(self.eval))(x).reshape((self.n_out, n, n))
 
 
 class MOP:
@@ -95,16 +139,19 @@ class MOP:
         self._b_ineq: list[np.ndarray] = []
 
     # -- nonlinear functions (``MOP.jl:84-107``) -----------------------------
-    def _add(self, fn, n_out, model_cfg, role, jac=None, hess=None, max_evals=2 ** 31 - 1):
+    def _add(self, fn, n_out, model_cfg, role, jac=None, hess=None,
+             max_evals=2 ** 31 - 1, host=False, can_batch=False):
         vf = VecFun(fn=fn, n_out=int(n_out), model_cfg=model_cfg, role=role,
-                    jac=jac, hess=hess, max_evals=max_evals)
+                    jac=jac, hess=hess, max_evals=max_evals, host=host,
+                    can_batch=can_batch)
         self.functions.append(vf)
         return len(self.functions) - 1
 
     def add_objective(self, fn, n_out=1, model_cfg=None, jac=None, hess=None,
-                      max_evals=2 ** 31 - 1):
+                      max_evals=2 ** 31 - 1, host=False, can_batch=False):
         cfg = RbfConfig() if model_cfg is None else model_cfg
-        return self._add(fn, n_out, cfg, OBJECTIVE, jac, hess, max_evals)
+        return self._add(fn, n_out, cfg, OBJECTIVE, jac, hess, max_evals,
+                         host, can_batch)
 
     def add_exact_objective(self, fn, n_out=1, jac=None, **kw):
         """``add_exact_objective!`` — grads from callback or autodiff."""
