@@ -796,8 +796,14 @@ class Solver:
             def eval_mx(groups, xq):
                 return self.container.eval_objectives(groups, xq)
 
+            def eval_mx_batch(groups, X, k_used):
+                if X is not None:
+                    return self.container.eval_objectives_batch(groups, X), groups
+                return None, self.container.charge_evals(groups, k_used)
+
             x_trial_s, mx_trial_bt, step, groups = backtrack(
-                x_n_s, d, sigma, omega, eval_mx, groups, self.desc_cfg)
+                x_n_s, d, sigma, omega, eval_mx, groups, self.desc_cfg,
+                eval_mx_batch=eval_mx_batch)
             # degenerate stepsize -> stay (``descent.jl:312-317``)
             usable = sigma > self.desc_cfg.min_stepsize
             x_trial_s = jnp.where(usable, x_trial_s, x_n_s)

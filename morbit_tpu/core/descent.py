@@ -149,39 +149,57 @@ def armijo_ok(mx, mx_t, step_size, omega, c, strict: bool):
     return (jnp.max(mx) - jnp.max(mx_t)) >= step_size * c * omega
 
 
-def backtrack(x_n, d, sigma0, omega, eval_mx, states, cfg: SteepestDescentConfig):
+def backtrack(x_n, d, sigma0, omega, eval_mx, states, cfg: SteepestDescentConfig,
+              eval_mx_batch=None):
     """Armijo backtracking on the surrogates (``descent.jl:150-185``).
 
-    ``eval_mx(states, x) -> (mx, states)`` threads the exact-model eval
-    counters through the loop. Returns (x_plus, mx_plus, step, states)."""
+    TPU-first restructuring of the sequential shrink loop: the candidate
+    stepsizes are the fixed geometric ladder ``sigma0 * alpha^k`` and the
+    Armijo test at step k depends only on ``m(x_n + sigma_k d)``, so all
+    ``max_loops+1`` trial points are evaluated in ONE batched call and the
+    accepted index is the first k with (armijo_k or sigma_k <= min_step) —
+    bit-identical to the reference's loop, without the sequential chain.
+
+    ``eval_mx(states, x) -> (mx, states)`` counts one exact-model eval;
+    ``eval_mx_batch(states, X (K,n), k_used) -> (MX, states)`` evaluates the
+    ladder and charges ``k_used`` evals (the number the sequential loop
+    would have performed). Returns (x_plus, mx_plus, step, states)."""
     dtype = x_n.dtype
     alpha = jnp.asarray(cfg.armijo_const_shrink, dtype)
     c = jnp.asarray(cfg.armijo_const_rhs, dtype)
     min_step = jnp.asarray(cfg.min_stepsize, dtype)
+    K = cfg.max_loops + 1
 
     mx, states = eval_mx(states, x_n)
-    x_t = x_n + sigma0 * d
-    mx_t, states = eval_mx(states, x_t)
 
-    def cond(carry):
-        i, sigma, x_t, mx_t, states, done = carry
-        return (i < cfg.max_loops) & (~done)
+    sigmas = sigma0 * alpha ** jnp.arange(K, dtype=dtype)      # (K,)
+    X = x_n[None, :] + sigmas[:, None] * d[None, :]            # (K, n)
 
-    def body(carry):
-        i, sigma, x_t, mx_t, states, done = carry
-        ok = armijo_ok(mx, mx_t, sigma, omega, c, cfg.strict_backtracking)
-        too_small = sigma <= min_step
-        stop = ok | too_small
+    if eval_mx_batch is None:
+        MX, states = jax.vmap(lambda xq: eval_mx(states, xq)[0])(X), states
+    else:
+        MX = None  # filled below after k_used is known
 
-        sigma_new = jnp.where(stop, sigma, sigma * alpha)
-        x_new = jnp.where(stop, x_t, x_n + sigma_new * d)
-        mx_new, states = jax.lax.cond(
-            stop, lambda s: (mx_t, s), lambda s: eval_mx(s, x_new), states)
-        return (i + 1, sigma_new, x_new, mx_new, states, stop)
+    def tests(MXv):
+        if cfg.strict_backtracking:
+            ok = jnp.all(mx[None, :] - MXv >= (sigmas * c * omega)[:, None], axis=1)
+        else:
+            ok = (jnp.max(mx) - jnp.max(MXv, axis=1)) >= sigmas * c * omega
+        return ok
 
-    i0 = jnp.asarray(0, jnp.int32)
-    carry = (i0, jnp.asarray(sigma0, dtype), x_t, mx_t, states, jnp.asarray(False))
-    _, sigma, x_t, mx_t, states, _ = jax.lax.while_loop(cond, body, carry)
+    if eval_mx_batch is not None:
+        # evaluate uncounted first to find k*, then charge k*+1 evals
+        MX, states = eval_mx_batch(states, X, None)
+
+    ok = tests(MX) | (sigmas <= min_step)
+    k_star = jnp.where(jnp.any(ok), jnp.argmax(ok), K - 1).astype(jnp.int32)
+
+    if eval_mx_batch is not None:
+        _, states = eval_mx_batch(states, None, k_star + 1)
+
+    sigma = sigmas[k_star]
+    x_t = X[k_star]
+    mx_t = MX[k_star]
     step = sigma * d
     return x_t, mx_t, step, states
 

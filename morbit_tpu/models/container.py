@@ -222,6 +222,21 @@ class SurrogateContainer:
         out, _ = self._gather(states, x_s, "eval", OBJECTIVE, counted=False)
         return out
 
+    def eval_objectives_batch(self, states, X):
+        """(K, m_obj) model objective values at a batch of sites, uncounted."""
+        return jax.vmap(lambda xq: self.eval_objectives_raw(states, xq))(X)
+
+    def charge_evals(self, states, k):
+        """Add ``k`` true-function evals to every exact-model group (used by
+        the batched backtracking to charge what the reference's sequential
+        loop would have evaluated)."""
+        out = []
+        for ops, st in zip(self.ops, states):
+            if ops.counts_on_eval:
+                st = st._replace(n_evals=st.n_evals + jnp.asarray(k, jnp.int32))
+            out.append(st)
+        return tuple(out)
+
     def eval_nl_eq_raw(self, states, x_s):
         out, _ = self._gather(states, x_s, "eval", NL_EQ, counted=False)
         return out

@@ -10,12 +10,19 @@ the Cholesky factor of ``Z' Phi Z`` stays bounded — the acceptance pivot is
 with the incremental QR/Givens update of the polynomial-tail factor and
 rank-1 updates of ``L``/``L^-1`` (``:429-494``).
 
-Here the whole loop is a fixed-shape ``lax.fori_loop`` over candidate rows:
+TPU-first restructuring: instead of the reference's candidate-by-candidate
+scan (a long sequential chain), acceptance proceeds in *waves*: every wave
+evaluates ``tau^2`` for **all** remaining candidates against the current
+state in one vmapped batch (MXU-friendly batched GEMMs) and accepts the
+first passer in database order. Because the state only changes at an
+acceptance, this is exactly the reference's sequential semantics — rejected
+candidates before the accepted one saw the same state — but the sequential
+chain length drops from #candidates to #acceptances.
+
 ``Q``/``R``/``Z``/``L``/``L^-1``/``Phi`` live in identity/zero-padded
-``(max_pts, max_pts)`` buffers with dynamic counts, every update is a masked
-matrix operation, and the Givens pass tracks the last row of the rotation
-product ``G`` in closed form (each plane ``(j, new)`` is used once, so row
-``new`` evolves as ``g <- c*g - s*e_j``).
+``(max_pts, max_pts)`` buffers with dynamic counts; the Givens pass tracks
+the last row of the rotation product in closed form (each plane ``(j, new)``
+is used once, so row ``new`` evolves as ``g <- c*g - s*e_j``).
 
 Like the reference's code path, ``Z``/``L`` start *empty* after rounds 1-3
 and grow one column per accepted point. The ``use_max_points`` random-point
@@ -45,11 +52,11 @@ class Round4State(NamedTuple):
     accepted: jax.Array  # (cap_db,) bool — which candidate rows were taken
 
 
-def _masked_householder_qr(Pi, n_valid_rows):
+def _masked_householder_qr(Pi):
     """QR of the zero-row-padded (maxN, pd) polynomial block.
 
-    Zero rows beyond ``n_valid_rows`` never enter the reflections, so Q is
-    identity there. Returns (Q (maxN, maxN), R (maxN, pd))."""
+    Zero rows never enter the reflections, so Q is identity there.
+    Returns (Q (maxN, maxN), R (maxN, pd))."""
     maxN, pd = Pi.shape
     dtype = Pi.dtype
     Q = jnp.eye(maxN, dtype=dtype)
@@ -87,87 +94,79 @@ def run_round4(
     chol_pivot,              # theta_pivot_cholesky^2 (tested against its square)
     max_candidates: int | None = None,
 ):
-    """Scan candidate database rows in insertion order; return Round4State."""
+    """Accept extra candidates in database order; returns Round4State."""
     maxN, n = init_sites.shape
     dtype = init_sites.dtype
     pd = poly_dim(n, poly_deg)
     cap = db_X.shape[0]
-    rank_bound = pd  # binomial(n + deg, n) == dim of the poly space
+    rank_bound = pd
 
-    row_mask = jnp.arange(maxN) < n_init
-    d = init_sites[:, None, :] - init_sites[None, :, :]
-    Phi = apply_kernel(kernel, jnp.sum(d * d, axis=-1), param)
-    mm = row_mask[:, None] & row_mask[None, :]
-    Phi = jnp.where(mm, Phi, jnp.eye(maxN, dtype=dtype))
+    row_mask0 = jnp.arange(maxN) < n_init
+    d0 = init_sites[:, None, :] - init_sites[None, :, :]
+    Phi0 = apply_kernel(kernel, jnp.sum(d0 * d0, axis=-1), param)
+    mm = row_mask0[:, None] & row_mask0[None, :]
+    Phi0 = jnp.where(mm, Phi0, jnp.eye(maxN, dtype=dtype))
     phi0 = apply_kernel(kernel, jnp.zeros((), dtype), param)
 
     if pd > 0:
-        Pi = jax.vmap(lambda s: poly_basis(s, poly_deg))(init_sites)
-        Pi = jnp.where(row_mask[:, None], Pi, 0.0)
-        Q, R = _masked_householder_qr(Pi, n_init)
+        Pi0 = jax.vmap(lambda s: poly_basis(s, poly_deg))(init_sites)
+        Pi0 = jnp.where(row_mask0[:, None], Pi0, 0.0)
+        Q0, R0 = _masked_householder_qr(Pi0)
     else:
-        Pi = jnp.zeros((maxN, 0), dtype)
-        Q = jnp.eye(maxN, dtype=dtype)
-        R = jnp.zeros((maxN, 0), dtype)
+        Q0 = jnp.eye(maxN, dtype=dtype)
+        R0 = jnp.zeros((maxN, 0), dtype)
 
-    st = Round4State(
-        sites=init_sites,
-        N=jnp.asarray(n_init, jnp.int32),
-        Q=Q, R=R,
-        Z=jnp.zeros((maxN, maxN), dtype),
-        zc=jnp.asarray(0, jnp.int32),
-        L=jnp.eye(maxN, dtype=dtype),
-        Linv=jnp.eye(maxN, dtype=dtype),
-        Phi=Phi,
+    st0 = Round4State(
+        sites=init_sites, N=jnp.asarray(n_init, jnp.int32),
+        Q=Q0, R=R0,
+        Z=jnp.zeros((maxN, maxN), dtype), zc=jnp.asarray(0, jnp.int32),
+        L=jnp.eye(maxN, dtype=dtype), Linv=jnp.eye(maxN, dtype=dtype),
+        Phi=Phi0,
         accepted=jnp.zeros((cap,), bool),
     )
 
     scan_cap = cap if max_candidates is None else min(cap, max_candidates)
+    idxN = jnp.arange(maxN)
 
-    def consider(c, st):
-        xi = db_X[c]
-        valid = cand_mask[c] & (st.N < max_points)
+    def givens_pass(st, xi):
+        """Rotate the appended poly row into R (``nullify_last_row``,
+        ``utilities.jl:437-448``); returns (R_rot, row_rot, gvec, ghat)."""
         N = st.N
-        idxN = jnp.arange(maxN)
-        rmask = idxN < N
+        pi_xi = poly_basis(xi, poly_deg)
 
-        # kernel column against accepted sites
+        def giv(j, carry):
+            R, row, gvec, ghat = carry
+            active = j < jnp.minimum(N, pd)
+            a = R[j, j]
+            b = row[j]
+            r = jnp.sqrt(a * a + b * b)
+            has = (r > 0) & active
+            cth = jnp.where(has, a / jnp.where(r > 0, r, 1.0), 1.0)
+            sth = jnp.where(has, b / jnp.where(r > 0, r, 1.0), 0.0)
+            Rj = R[j]
+            R = R.at[j].set(cth * Rj + sth * row)
+            row = -sth * Rj + cth * row
+            # row `new` of the rotation product: each plane (j, new) is used
+            # once, so rows j are still e_j when consumed
+            gvec = cth * gvec - sth * (idxN == j).astype(dtype)
+            ghat = cth * ghat
+            return R, row, gvec, ghat
+
+        return jax.lax.fori_loop(
+            0, pd, giv,
+            (st.R, pi_xi, jnp.zeros((maxN,), dtype), jnp.asarray(1.0, dtype)))
+
+    def candidate_quantities(st, xi):
+        """tau^2 test ingredients for one candidate vs the current state."""
+        rmask = idxN < st.N
         diff = st.sites - xi[None, :]
         phi_xi = apply_kernel(kernel, jnp.sum(diff * diff, axis=-1), param)
         phi_xi = jnp.where(rmask, phi_xi, 0.0)
 
         if pd > 0:
-            pi_xi = poly_basis(xi, poly_deg)
-            # Givens pass: rotate the appended row into R
-            # (``nullify_last_row``, ``utilities.jl:437-448``)
-            def giv(j, carry):
-                R, row, gvec, ghat = carry
-                active = j < jnp.minimum(N, pd)
-                a = R[j, j]
-                b = row[j]
-                r = jnp.sqrt(a * a + b * b)
-                has = r > 0
-                cth = jnp.where(has, a / jnp.where(has, r, 1.0), 1.0)
-                sth = jnp.where(has, b / jnp.where(has, r, 1.0), 0.0)
-                cth = jnp.where(active, cth, 1.0)
-                sth = jnp.where(active, sth, 0.0)
-                Rj = R[j]
-                R = R.at[j].set(cth * Rj + sth * row)
-                row = -sth * Rj + cth * row
-                # row `new` of the rotation product: each plane (j, new) is
-                # used once, so rows j are still e_j when consumed
-                gvec = cth * gvec - sth * (idxN == j).astype(dtype)
-                ghat = cth * ghat
-                return R, row, gvec, ghat
-
-            gvec0 = jnp.zeros((maxN,), dtype)
-            R_rot, row_rot, gvec, ghat = jax.lax.fori_loop(
-                0, pd, giv, (st.R, pi_xi, gvec0, jnp.asarray(1.0, dtype)))
-
-            # rank-augmentation test (``RbfModel.jl:433-438``)
-            need_rank = N < rank_bound
+            R_rot, row_rot, gvec, ghat = givens_pass(st, xi)
             rank_ok = jnp.where(
-                need_rank,
+                st.N < rank_bound,
                 jnp.linalg.norm(row_rot) > 10 * jnp.finfo(dtype).eps,
                 True)
         else:
@@ -179,67 +178,101 @@ def run_round4(
 
         Qg = st.Q @ gvec
         zmask = idxN < st.zc
-        v = st.Z.T @ (st.Phi @ Qg + phi_xi * ghat)
-        v = jnp.where(zmask, v, 0.0)
+        v = jnp.where(zmask, st.Z.T @ (st.Phi @ Qg + phi_xi * ghat), 0.0)
         sigma = Qg @ (st.Phi @ Qg) + 2.0 * ghat * (phi_xi @ Qg) + ghat ** 2 * phi0
         Lv = jnp.where(zmask, st.Linv @ v, 0.0)
         tau2 = sigma - Lv @ Lv
+        return tau2, rank_ok, phi_xi, R_rot, row_rot, gvec, ghat, Qg, Lv, zmask
 
-        accept = valid & rank_ok & (tau2 > chol_pivot ** 2)
+    def accept(st, c):
+        """Accept candidate row c (all quantities recomputed once)."""
+        xi = db_X[c]
+        (tau2, _, phi_xi, R_rot, row_rot, gvec, ghat, Qg, Lv, zmask
+         ) = candidate_quantities(st, xi)
         tau = jnp.sqrt(jnp.maximum(tau2, jnp.finfo(dtype).tiny))
+        N = st.N
+        slotN = jnp.clip(N, 0, maxN - 1)
+        zslot = jnp.clip(st.zc, 0, maxN - 1)
+        sites = st.sites.at[slotN].set(xi)
 
-        def do_accept(st):
-            N = st.N
-            slotN = jnp.clip(N, 0, maxN - 1)
-            zslot = jnp.clip(st.zc, 0, maxN - 1)
-            sites = st.sites.at[slotN].set(xi)
+        # Q <- blkdiag(Q, 1) G' — apply each plane (j, slotN) rotation to the
+        # columns, recomputing the same c/s sequence
+        if pd > 0:
+            def givq(j, carry):
+                Q, R, row = carry
+                active = j < jnp.minimum(N, pd)
+                a = R[j, j]
+                b = row[j]
+                r = jnp.sqrt(a * a + b * b)
+                has = (r > 0) & active
+                cth = jnp.where(has, a / jnp.where(r > 0, r, 1.0), 1.0)
+                sth = jnp.where(has, b / jnp.where(r > 0, r, 1.0), 0.0)
+                Rj = R[j]
+                R = R.at[j].set(cth * Rj + sth * row)
+                row = -sth * Rj + cth * row
+                colj = Q[:, j]
+                colN = Q[:, slotN]
+                Q = Q.at[:, j].set(cth * colj + sth * colN)
+                Q = Q.at[:, slotN].set(-sth * colj + cth * colN)
+                return Q, R, row
 
-            # Q <- blkdiag(Q, 1) G'  — apply each plane (j, slotN) rotation
-            # to the columns; recompute the same c/s sequence
-            if pd > 0:
-                def givq(j, carry):
-                    Q, R, row = carry
-                    active = j < jnp.minimum(N, pd)
-                    a = R[j, j]
-                    b = row[j]
-                    r = jnp.sqrt(a * a + b * b)
-                    has = r > 0
-                    cth = jnp.where(active & has, a / jnp.where(has, r, 1.0), 1.0)
-                    sth = jnp.where(active & has, b / jnp.where(has, r, 1.0), 0.0)
-                    Rj = R[j]
-                    R = R.at[j].set(cth * Rj + sth * row)
-                    row = -sth * Rj + cth * row
-                    colj = Q[:, j]
-                    colN = Q[:, slotN]
-                    Q = Q.at[:, j].set(cth * colj + sth * colN)
-                    Q = Q.at[:, slotN].set(-sth * colj + cth * colN)
-                    return Q, R, row
+            Qn, _, _ = jax.lax.fori_loop(
+                0, pd, givq, (st.Q, st.R, poly_basis(xi, poly_deg)))
+            Rn = R_rot.at[slotN].set(row_rot)
+        else:
+            Qn = st.Q
+            Rn = st.R
 
-                Qn, _, _ = jax.lax.fori_loop(
-                    0, pd, givq, (st.Q, st.R, poly_basis(xi, poly_deg)))
-            else:
-                Qn = st.Q
+        zcol = Qg.at[slotN].set(ghat)
+        Z = st.Z.at[:, zslot].set(zcol)
+        L = st.L.at[zslot].set(jnp.where(zmask, Lv, 0.0))
+        L = L.at[zslot, zslot].set(tau)
+        linv_row = -(st.Linv.T @ Lv) / tau
+        Linv = st.Linv.at[zslot].set(jnp.where(zmask, linv_row, 0.0))
+        Linv = Linv.at[zslot, zslot].set(1.0 / tau)
 
-            zcol = Qg.at[slotN].set(ghat)
-            Z = st.Z.at[:, zslot].set(zcol)
+        Phi = st.Phi.at[slotN, :].set(phi_xi)
+        Phi = Phi.at[:, slotN].set(phi_xi)
+        Phi = Phi.at[slotN, slotN].set(phi0)
 
-            L = st.L.at[zslot].set(jnp.where(zmask, Lv, 0.0))
-            L = L.at[zslot, zslot].set(tau)
-            linv_row = -(st.Linv.T @ Lv) / tau
-            Linv = st.Linv.at[zslot].set(jnp.where(zmask, linv_row, 0.0))
-            Linv = Linv.at[zslot, zslot].set(1.0 / tau)
+        return Round4State(
+            sites=sites, N=N + 1, Q=Qn, R=Rn, Z=Z, zc=st.zc + 1,
+            L=L, Linv=Linv, Phi=Phi,
+            accepted=st.accepted.at[c].set(True))
 
-            Rn = R_rot.at[slotN].set(row_rot) if pd > 0 else st.R
+    # one acceptance per wave, plus one terminating empty wave
+    n_waves = max(1, max_points)
 
-            Phi = st.Phi.at[slotN, :].set(phi_xi)
-            Phi = Phi.at[:, slotN].set(phi_xi)
-            Phi = Phi.at[slotN, slotN].set(phi0)
+    def tau2_batch(st):
+        def one(c):
+            out = candidate_quantities(st, db_X[c])
+            return out[0], out[1]
 
-            return Round4State(
-                sites=sites, N=N + 1, Q=Qn, R=Rn, Z=Z, zc=st.zc + 1,
-                L=L, Linv=Linv, Phi=Phi,
-                accepted=st.accepted.at[c].set(True))
+        tau2s, rank_oks = jax.vmap(one)(jnp.arange(scan_cap))
+        return tau2s, rank_oks
 
-        return jax.lax.cond(accept, do_accept, lambda s: s, st)
+    def wave(w, carry):
+        st, cursor, done = carry
 
-    return jax.lax.fori_loop(0, scan_cap, consider, st)
+        def do_wave(args):
+            st, cursor = args
+            tau2s, rank_oks = tau2_batch(st)
+            cand_ok = (cand_mask[:scan_cap] & rank_oks
+                       & (tau2s > chol_pivot ** 2)
+                       & (jnp.arange(scan_cap) >= cursor))
+            any_ok = jnp.any(cand_ok) & (st.N < max_points)
+            first = jnp.argmax(cand_ok).astype(jnp.int32)
+            st2 = jax.lax.cond(any_ok, lambda s: accept(s, first),
+                               lambda s: s, st)
+            cursor2 = jnp.where(any_ok, first + 1, scan_cap)
+            return st2, cursor2, ~any_ok
+
+        def skip(args):
+            st, cursor = args
+            return st, cursor, jnp.asarray(True)
+
+        return jax.lax.cond(~done, do_wave, skip, (st, cursor))
+
+    st, _, _ = jax.lax.fori_loop(
+        0, n_waves, wave, (st0, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    return st

@@ -37,12 +37,15 @@ class QPSolution(NamedTuple):
     status_ok: jax.Array  # bool: residuals below tolerance
 
 
-def _rho_vec(l, u, rho):
-    """Per-row penalty: OSQP uses ``rho*1e3`` on equality rows."""
+def _rho_vec(l, u, rho, dtype):
+    """Per-row penalty: OSQP uses ``rho*1e3`` on equality rows. The spread
+    is narrowed in float32 to keep the KKT factorization well-conditioned."""
+    f32 = jnp.finfo(dtype).bits <= 32
+    eq_fac, loose_fac = (1e2, 1e-2) if f32 else (1e3, 1e-6)
     is_eq = (u - l) <= 1e-12
     loose = jnp.isinf(l) & jnp.isinf(u)
-    r = jnp.where(is_eq, rho * 1e3, rho)
-    return jnp.where(loose, rho * 1e-6, r)
+    r = jnp.where(is_eq, rho * eq_fac, rho)
+    return jnp.where(loose, rho * loose_fac, r)
 
 
 def solve_qp(
@@ -53,11 +56,11 @@ def solve_qp(
     u: jax.Array,
     iters: int = 400,
     rho: float = 0.1,
-    sigma: float = 1e-6,
+    sigma: float | None = None,
     alpha: float = 1.6,
     polish: bool = True,
     adapt_every: int = 100,
-    eps: float = 1e-8,
+    eps: float | None = None,
 ) -> QPSolution:
     """Solve one dense QP. ``vmap`` over a leading axis for batches.
 
@@ -70,12 +73,22 @@ def solve_qp(
     n = q.shape[0]
     dtype = q.dtype
     m = A.shape[0]
+    f32 = jnp.finfo(dtype).bits <= 32
+    if sigma is None:
+        sigma = 1e-4 if f32 else 1e-6
+    if eps is None:
+        eps = 1e-6 if f32 else 1e-8
+    rho_clip = (1e-3, 1e4) if f32 else (1e-6, 1e6)
 
     def stage(carry, rho_scale_unused=None):
         z, zz, y, rho_v = carry
         M = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
-        # Cholesky once per stage
+        # Cholesky once per stage; jittered refactorization on breakdown
         L = jnp.linalg.cholesky(M)
+        bad = ~jnp.all(jnp.isfinite(L))
+        jitter = 1e-3 * (jnp.trace(M) / n + 1.0)
+        L2 = jnp.linalg.cholesky(M + jitter * jnp.eye(n, dtype=dtype))
+        L = jnp.where(bad, L2, L)
 
         def step(_, s):
             z, zz, y = s
@@ -96,13 +109,13 @@ def solve_qp(
         dr = jnp.max(jnp.abs(P @ z + q + A.T @ y))
         scale = jnp.sqrt(jnp.maximum(pr, 1e-30) / jnp.maximum(dr, 1e-30))
         scale = jnp.clip(scale, 0.1, 10.0)
-        rho_new = jnp.clip(rho_v * scale, 1e-6, 1e6)
+        rho_new = jnp.clip(rho_v * scale, rho_clip[0], rho_clip[1])
         return (z, zz, y, rho_new), None
 
     z0 = jnp.zeros(n, dtype)
     zz0 = jnp.clip(jnp.zeros(m, dtype), l, u)
     y0 = jnp.zeros(m, dtype)
-    rho_v0 = _rho_vec(l, u, jnp.asarray(rho, dtype))
+    rho_v0 = _rho_vec(l, u, jnp.asarray(rho, dtype), dtype)
 
     n_stages = max(1, iters // adapt_every)
     carry = (z0, zz0, y0, rho_v0)
@@ -111,7 +124,8 @@ def solve_qp(
     z, zz, y, _ = carry
 
     if polish:
-        z, y = _polish(P, q, A, l, u, z, y)
+        z, y = _polish(P, q, A, l, u, z, y,
+                       delta=1e-5 if f32 else 1e-8)
 
     Az = A @ z
     viol = jnp.maximum(Az - u, 0.0) + jnp.maximum(l - Az, 0.0)

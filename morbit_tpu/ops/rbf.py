@@ -132,24 +132,52 @@ def fit_rbf(
     param = jnp.asarray(param, dtype)
     mm = mask[:, None] & mask[None, :]
     eye = jnp.eye(max_pts, dtype=dtype)
-    Phi = jnp.where(mm, Phi, eye)
+    n_valid = jnp.sum(mask).astype(dtype)
 
+    # Conditioning (needed for float32 on TPU): when the tail contains the
+    # constant, ``Pi' w = 0`` forces ``1' w = 0``, so adding any multiple of
+    # 11' to Phi leaves the interpolant's w unchanged — centering removes the
+    # dominant rank-one part (e.g. multiquadric Phi ~ -11' for small radii).
+    # A global scale alpha is likewise factored out (w = w_tilde / alpha,
+    # lambda unchanged).
     np_ = poly_dim(n, poly_deg)
+    if np_ > 0:
+        c = jnp.sum(jnp.where(mm, Phi, 0.0)) / jnp.maximum(n_valid ** 2, 1.0)
+        Phi_c = Phi - c
+    else:
+        Phi_c = Phi
+    alpha = jnp.maximum(jnp.max(jnp.abs(jnp.where(mm, Phi_c, 0.0))),
+                        jnp.asarray(1e-30, dtype))
+    Phi_s = jnp.where(mm, Phi_c / alpha, eye)
+
     if np_ > 0:
         Pi = jax.vmap(lambda s: poly_basis(s, poly_deg))(sites)  # (max_pts, np_)
         Pi = jnp.where(mask[:, None], Pi, 0.0)
-        zero = reg * jnp.eye(np_, dtype=dtype) if reg else jnp.zeros((np_, np_), dtype)
-        K = jnp.block([[Phi, Pi], [Pi.T, -zero]])
+
+        def kkt(extra_reg):
+            zero = extra_reg * jnp.eye(np_, dtype=dtype)
+            return jnp.block([[Phi_s, Pi], [Pi.T, -zero]])
+
         rhs = jnp.concatenate([jnp.where(mask[:, None], values, 0.0),
                                jnp.zeros((np_, m), dtype)])
     else:
-        K = Phi
+        def kkt(extra_reg):
+            return Phi_s + extra_reg * eye
+
         rhs = jnp.where(mask[:, None], values, 0.0)
 
+    K = kkt(jnp.asarray(reg, dtype))
     sol = jnp.linalg.solve(K, rhs)
-    w = sol[:max_pts]
+    # residual-checked ridge fallback for singular/degenerate systems
+    resid = jnp.max(jnp.abs(K @ sol - rhs)) / (jnp.max(jnp.abs(rhs)) + 1.0)
+    tol = 1e2 * jnp.sqrt(jnp.finfo(dtype).eps)
+    bad = (~jnp.all(jnp.isfinite(sol))) | (resid > tol)
+    ridge = max(reg, 1e2 * float(jnp.finfo(dtype).eps))
+    sol2 = jnp.linalg.solve(kkt(jnp.asarray(ridge, dtype)), rhs)
+    sol = jnp.where(bad, sol2, sol)
+
+    w = jnp.where(mask[:, None], sol[:max_pts] / alpha, 0.0)
     lam = sol[max_pts:]
-    w = jnp.where(mask[:, None], w, 0.0)
     return RbfFit(sites=sites, mask=mask, w=w, lam=lam, param=param)
 
 
