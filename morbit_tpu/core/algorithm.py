@@ -77,6 +77,9 @@ class SolverState(NamedTuple):
     x_indices: jax.Array  # (G,) row of the iterate in each group db
     filter: flt.FilterState
     traj: TrajectoryState
+    scal: scaling.VarScaler  # current variable scaling (constant unless
+                             # var_scaler_update == 'model')
+    key: jax.Array      # PRNG key (round-4 use_max_points sampling)
 
 
 class OptimizeResult(NamedTuple):
@@ -140,10 +143,20 @@ class Solver:
         self.T = ac.resolved_trajectory_capacity()
 
     # ------------------------------------------------------------------ helpers
-    def _linear_values(self, x_s):
-        l_e = self.A_eq_s @ x_s - self.b_eq_s
-        l_i = self.A_ineq_s @ x_s - self.b_ineq_s
-        return l_e, l_i
+    def _lin_matrices(self, scal):
+        """Linear constraints transformed to the scaled space of ``scal``
+        (``transformed_linear_constraints``, ``AbstractMOPInterface.jl:476``)."""
+        dtype = self.dtype
+        inv_s = 1.0 / scal.scale
+        A_eq_s = jnp.asarray(self.mop.A_eq, dtype) * inv_s[None, :]
+        b_eq_s = jnp.asarray(self.mop.b_eq, dtype) + A_eq_s @ scal.offset
+        A_ineq_s = jnp.asarray(self.mop.A_ineq, dtype) * inv_s[None, :]
+        b_ineq_s = jnp.asarray(self.mop.b_ineq, dtype) + A_ineq_s @ scal.offset
+        return A_eq_s, b_eq_s, A_ineq_s, b_ineq_s
+
+    def _linear_values(self, x_s, scal):
+        A_eq_s, b_eq_s, A_ineq_s, b_ineq_s = self._lin_matrices(scal)
+        return A_eq_s @ x_s - b_eq_s, A_ineq_s @ x_s - b_ineq_s
 
     def _theta(self, st_or_vals):
         if isinstance(st_or_vals, SolverState):
@@ -178,22 +191,23 @@ class Solver:
         return sum(st.n_evals for st in groups)
 
     # -------------------------------------------------- criticality computation
-    def _linearized_constraints_at(self, groups, x_s, x_n_s, l_e_n, l_i_n):
+    def _linearized_constraints_at(self, groups, x_s, x_n_s, l_e_n, l_i_n, scal):
         """Rows for the descent LP at x+n (``descent.jl:199-236``): true
         linear constraints with RHS -l(x_n); surrogate linearizations of the
         nonlinear constraints around x, shifted to x_n."""
         dtype = self.dtype
         n_step = x_n_s - x_s
-        parts_Ae, parts_be = [self.A_eq_s], [-l_e_n]
-        parts_Ai, parts_bi = [self.A_ineq_s], [-l_i_n]
+        A_eq_s, _, A_ineq_s, _ = self._lin_matrices(scal)
+        parts_Ae, parts_be = [A_eq_s], [-l_e_n]
+        parts_Ai, parts_bi = [A_ineq_s], [-l_i_n]
         if self.mop.m_ce > 0:
-            Dm_e = self.container.jac_nl_eq(groups, x_s)
-            m_e, _ = self.container.eval_nl_eq(groups, x_n_s)
+            Dm_e = self.container.jac_nl_eq(groups, x_s, scal)
+            m_e, _ = self.container.eval_nl_eq(groups, x_n_s, scal)
             parts_Ae.append(Dm_e)
             parts_be.append(-m_e - Dm_e @ n_step)
         if self.mop.m_ci > 0:
-            Dm_i = self.container.jac_nl_ineq(groups, x_s)
-            m_i, _ = self.container.eval_nl_ineq(groups, x_n_s)
+            Dm_i = self.container.jac_nl_ineq(groups, x_s, scal)
+            m_i, _ = self.container.eval_nl_ineq(groups, x_n_s, scal)
             parts_Ai.append(Dm_i)
             parts_bi.append(-m_i - Dm_i @ n_step)
         return LinearizedConstraints(
@@ -203,21 +217,23 @@ class Solver:
             b_ineq=jnp.concatenate(parts_bi),
         )
 
-    def _get_criticality(self, groups, x_s, x_n_s, l_e_n, l_i_n, fx_n, delta):
+    def _get_criticality(self, groups, x_s, x_n_s, l_e_n, l_i_n, fx_n, delta,
+                         scal):
         """``get_criticality`` dispatch (``descent.jl:19-25``).
 
         Returns ``(omega, payload)`` where the payload is the descent
         direction for steepest descent, or the PS trial point."""
         if isinstance(self.desc_cfg, SteepestDescentConfig):
-            Dm = self.container.jac_objectives(groups, x_n_s)
-            lin = self._linearized_constraints_at(groups, x_s, x_n_s, l_e_n, l_i_n)
+            Dm = self.container.jac_objectives(groups, x_n_s, scal)
+            lin = self._linearized_constraints_at(groups, x_s, x_n_s, l_e_n,
+                                                  l_i_n, scal)
             d, omega = steepest_descent_direction(
-                x_n_s, Dm, self.scal.lb_scaled, self.scal.ub_scaled, lin,
+                x_n_s, Dm, scal.lb_scaled, scal.ub_scaled, lin,
                 normalize=self.desc_cfg.normalize, qp_iters=self.ac.qp_iters)
             return omega, d
-        return self._ps_criticality(groups, x_s, x_n_s, fx_n, delta)
+        return self._ps_criticality(groups, x_s, x_n_s, fx_n, delta, scal)
 
-    def _ps_criticality(self, groups, x_s, x_n_s, fx_n, delta):
+    def _ps_criticality(self, groups, x_s, x_n_s, fx_n, delta, scal):
         """Pascoletti-Serafini descent (``descent.jl:512-581``).
 
         ``min t s.t. m(chi) <= m(x_n) + t*r`` over the local box with the
@@ -231,23 +247,25 @@ class Solver:
         cfg = self.desc_cfg
         dtype = self.dtype
         n = self.mop.n_vars
-        lb_eff, ub_eff = local_bounds_pair = (
-            jnp.maximum(self.scal.lb_scaled, x_s - delta),
-            jnp.minimum(self.scal.ub_scaled, x_s + delta))
+        lb_eff, ub_eff = (
+            jnp.maximum(scal.lb_scaled, x_s - delta),
+            jnp.minimum(scal.ub_scaled, x_s + delta))
+        A_eq_s, b_eq_s, A_ineq_s, b_ineq_s = self._lin_matrices(scal)
         grid = halton_grid(cfg.n_samples, n)
 
         def penalty(chi):
             pen = jnp.asarray(0.0, dtype)
             if self.mop.m_ce > 0:
-                pen = pen + jnp.sum(self.container.eval_nl_eq_raw(groups, chi) ** 2)
+                pen = pen + jnp.sum(
+                    self.container.eval_nl_eq_raw(groups, chi, scal) ** 2)
             if self.mop.m_ci > 0:
+                pen = pen + jnp.sum(jnp.maximum(
+                    self.container.eval_nl_ineq_raw(groups, chi, scal), 0.0) ** 2)
+            if self.mop.A_eq.shape[0]:
+                pen = pen + jnp.sum((A_eq_s @ chi - b_eq_s) ** 2)
+            if self.mop.A_ineq.shape[0]:
                 pen = pen + jnp.sum(
-                    jnp.maximum(self.container.eval_nl_ineq_raw(groups, chi), 0.0) ** 2)
-            if self.A_eq_s.shape[0]:
-                pen = pen + jnp.sum((self.A_eq_s @ chi - self.b_eq_s) ** 2)
-            if self.A_ineq_s.shape[0]:
-                pen = pen + jnp.sum(
-                    jnp.maximum(self.A_ineq_s @ chi - self.b_ineq_s, 0.0) ** 2)
+                    jnp.maximum(A_ineq_s @ chi - b_ineq_s, 0.0) ** 2)
             return pen
 
         PEN_W = jnp.asarray(1e5, dtype)
@@ -314,9 +332,10 @@ class Solver:
                 prev = prev.groups
             groups = tuple(
                 fresh._replace(db=old.db) for fresh, old in zip(groups, prev))
+        scal = self.scal
         fx, c_e, c_i, groups, x_indices = self.container.ensure_evaluated(
-            groups, x_s)
-        l_e, l_i = self._linear_values(x_s)
+            groups, x_s, scal)
+        l_e, l_i = self._linear_values(x_s, scal)
         delta0 = jnp.asarray(self.ac.delta_0, dtype)
 
         filt = flt.init_filter(self.ac.filter_capacity, self.f_dim, dtype)
@@ -338,7 +357,7 @@ class Solver:
         # initial surrogates (``init_surrogates``; RBF defaults to
         # ensure_fully_linear=true on init, ``RbfModel.jl:506-513``)
         groups = self.container.update(groups, x_s, x_indices, delta0,
-                                       ensure_fully_linear=True)
+                                       ensure_fully_linear=True, scal=scal)
 
         return SolverState(
             x=x, x_s=x_s, fx=fx, l_e=l_e, l_i=l_i, c_e=c_e, c_i=c_i,
@@ -347,17 +366,41 @@ class Solver:
             last_it_stat=jnp.asarray(ITER_TYPE.ACCEPTABLE, jnp.int32),
             stop_code=jnp.asarray(STOP_CODE.CONTINUE, jnp.int32),
             groups=groups, x_indices=x_indices, filter=filt, traj=traj,
+            scal=scal,
+            key=jax.random.fold_in(
+                jax.random.PRNGKey(1234),
+                jnp.sum(jnp.abs(x_s * 1e6)).astype(jnp.uint32)),
         )
 
     # ------------------------------------------------------------------ stopping
     def _tol_tests(self, x, x_t, fx, fx_t):
-        """Relative/absolute x/f stopping tests (``algorithm.jl:14-56``)."""
+        """Relative/absolute x/f stopping tests (``algorithm.jl:14-56``).
+
+        Each tolerance may be a scalar (inf-norm test) or a vector
+        (componentwise test), like the reference's ``Real``/``Vector``
+        dispatch."""
         ac = self.ac
         inf_norm = lambda v: jnp.max(jnp.abs(v)) if v.shape[0] else jnp.asarray(0.0, self.dtype)
-        fr = inf_norm(fx - fx_t) <= ac.f_tol_rel * inf_norm(fx)
-        xr = inf_norm(x - x_t) <= ac.x_tol_rel * inf_norm(x)
-        fa = inf_norm(fx - fx_t) <= ac.f_tol_abs
-        xa = inf_norm(x - x_t) <= ac.x_tol_abs
+
+        def rel(test_v, ref_v, tol):
+            if np.isscalar(tol):
+                return inf_norm(test_v) <= tol * inf_norm(ref_v)
+            # vector tolerance: all(|diff| <= tol .* ref) (``algorithm.jl:19``)
+            t = jnp.asarray(tol, self.dtype)
+            return jnp.all(jnp.abs(test_v) <= t * ref_v)
+
+        def absolute(test_v, tol):
+            if np.isscalar(tol):
+                return inf_norm(test_v) <= tol
+            return jnp.all(jnp.abs(test_v) <= jnp.asarray(tol, self.dtype))
+
+        fr = rel(fx - fx_t, fx, ac.f_tol_rel)
+        # vector x_tol_rel is componentwise absolute in the reference
+        # (``algorithm.jl:30``)
+        xr = (rel(x - x_t, x, ac.x_tol_rel) if np.isscalar(ac.x_tol_rel)
+              else absolute(x - x_t, ac.x_tol_rel))
+        fa = absolute(fx - fx_t, ac.f_tol_abs)
+        xa = absolute(x - x_t, ac.x_tol_abs)
         return fr | xr | fa | xa
 
     def _omega_tests(self, omega, delta):
@@ -405,19 +448,53 @@ class Solver:
             state,
         )
 
+    def _rescale_model(self, state: SolverState) -> SolverState:
+        """:model scaler update: estimate new scaling factors from the
+        surrogate Jacobian (``new_var_scaler``, ``VarScaler.jl:240-260``),
+        retransform the databases and the iterate
+        (``algorithm.jl:661-679``)."""
+        old = state.scal
+        J_comp = self.container.jac_all(state.groups, state.x_s, old)
+        # Jf ~ Jm * d(transform)/dx = Jm diag(scale_old)
+        J = J_comp * old.scale[None, :]
+        lb = jnp.asarray(self.mop.lb, self.dtype)
+        ub = jnp.asarray(self.mop.ub, self.dtype)
+        new = scaling.estimate_linear_scaling_traced(
+            J, lb, ub, np.isfinite(self.mop.lb) & np.isfinite(self.mop.ub))
+        groups = tuple(
+            st._replace(db=dbm.rescale(st.db, old.scale, old.offset,
+                                       new.scale, new.offset))
+            for st in state.groups)
+        x_s = scaling.transform(new, state.x)
+        l_e, l_i = self._linear_values(x_s, new)
+        return state._replace(groups=groups, x_s=x_s, l_e=l_e, l_i=l_i,
+                              scal=new)
+
     def _iterate_inner(self, state: SolverState) -> SolverState:
         ac = self.ac
         dtype = self.dtype
+
+        # ---- per-iteration scaler update (``new_var_scaler`` + database
+        # retransform, ``algorithm.jl:661-679``, ``VarScaler.jl:240-260``)
+        if ac.var_scaler_update == "model":
+            state = jax.lax.cond(state.iter_counter > 1, self._rescale_model,
+                                 lambda s: s, state)
+
         x_s = state.x_s
         fx = state.fx
+        scal = state.scal
 
         # ---- surrogate update (``algorithm.jl:682-688``)
+        it_key = jax.random.fold_in(state.key, state.iter_counter)
+
         def do_update(groups):
             return self.container.update(groups, x_s, state.x_indices,
-                                         state.delta, ensure_fully_linear=False)
+                                         state.delta, ensure_fully_linear=False,
+                                         scal=scal, key=it_key)
 
         def do_improve(groups):
-            return self.container.improve(groups, x_s, state.x_indices, state.delta)
+            return self.container.improve(groups, x_s, state.x_indices,
+                                          state.delta, scal=scal, key=it_key)
 
         groups = jax.lax.cond(
             state.iter_counter > 1,
@@ -455,10 +532,12 @@ class Solver:
         x_s = state.x_s
         groups = state.groups
 
-        lin = self._linearized_constraints_at(groups, x_s, x_s, state.l_e, state.l_i)
+        scal = state.scal
+        lin = self._linearized_constraints_at(groups, x_s, x_s, state.l_e,
+                                              state.l_i, scal)
         variable_radius = state.last_it_stat == ITER_TYPE.RESTORATION
         n_step, delta_n, feasible = normal_step(
-            x_s, self.scal.lb_scaled, self.scal.ub_scaled, lin,
+            x_s, scal.lb_scaled, scal.ub_scaled, lin,
             ac.filter_kappa_delta, ac.delta_max, state.delta, variable_radius,
             qp_iters=ac.qp_iters)
 
@@ -478,12 +557,12 @@ class Solver:
                 lambda g: g, groups2)
             x_n_s = state.x_s + jnp.nan_to_num(n_step)
             fx_n, c_e_n, c_i_n, groups3, idx_n = self.container.evaluate_true(
-                groups2, x_n_s)
-            l_e_n, l_i_n = self._linear_values(x_n_s)
+                groups2, x_n_s, scal)
+            l_e_n, l_i_n = self._linear_values(x_n_s, scal)
             state_n = state._replace(
                 groups=groups3, delta=jnp.where(changed, delta_n, state.delta))
             inter = state_n._replace(
-                x=scaling.untransform(self.scal, x_n_s), x_s=x_n_s, fx=fx_n,
+                x=scaling.untransform(scal, x_n_s), x_s=x_n_s, fx=fx_n,
                 l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n, x_indices=idx_n)
             theta_n = self._theta(inter)
             return self._main_phase(state_n, inter, theta_k, theta_n)
@@ -502,10 +581,10 @@ class Solver:
             def linear_restoration(s):
                 x_n_s = s.x_s + jnp.nan_to_num(n_step)
                 fx_n, c_e_n, c_i_n, g3, idx_n = self.container.evaluate_true(
-                    s.groups, x_n_s)
-                l_e_n, l_i_n = self._linear_values(x_n_s)
+                    s.groups, x_n_s, s.scal)
+                l_e_n, l_i_n = self._linear_values(x_n_s, s.scal)
                 nxt = s._replace(
-                    x=scaling.untransform(self.scal, x_n_s), x_s=x_n_s, fx=fx_n,
+                    x=scaling.untransform(s.scal, x_n_s), x_s=x_n_s, fx=fx_n,
                     l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n,
                     groups=g3, x_indices=idx_n)
                 return self._finish_restoration(nxt)
@@ -536,41 +615,25 @@ class Solver:
         ub = jnp.asarray(self.mop.ub, dtype)
         x = state.x
 
-        def theta_of(xi):
-            c_es, c_is = [], []
-            for g in self.mop.groups:
-                vals = g.eval_unscaled(xi)
-                for mb in g.members:
-                    part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
-                    if mb.role == "nl_eq":
-                        c_es.append(part)
-                    elif mb.role == "nl_ineq":
-                        c_is.append(part)
-            c_e = jnp.concatenate(c_es) if c_es else jnp.zeros((0,), dtype)
-            c_i = jnp.concatenate(c_is) if c_is else jnp.zeros((0,), dtype)
+        def true_constraints(xi):
+            """True constraint blocks at an unscaled site (incl. composites)."""
+            group_vals = [g.eval_unscaled(xi) for g in self.mop.groups]
+            _, c_e, c_i = self.mop.scatter_role_vectors(group_vals, dtype, xi)
             l_e = jnp.asarray(self.mop.A_eq, dtype) @ xi - jnp.asarray(self.mop.b_eq, dtype)
             l_i = jnp.asarray(self.mop.A_ineq, dtype) @ xi - jnp.asarray(self.mop.b_ineq, dtype)
-            return flt.compute_constraint_val(l_e, l_i, c_e, c_i)
+            return l_e, l_i, c_e, c_i
+
+        def theta_of(xi):
+            return flt.compute_constraint_val(*true_constraints(xi))
 
         # smooth merit: squared hinge violations (differentiable a.e.)
         def merit(xi):
-            terms = []
-            for g in self.mop.groups:
-                vals = g.eval_unscaled(xi)
-                for mb in g.members:
-                    part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
-                    if mb.role == "nl_eq":
-                        terms.append(jnp.sum(part ** 2))
-                    elif mb.role == "nl_ineq":
-                        terms.append(jnp.sum(jnp.maximum(part, 0.0) ** 2))
-            l_e = jnp.asarray(self.mop.A_eq, dtype) @ xi - jnp.asarray(self.mop.b_eq, dtype)
-            l_i = jnp.asarray(self.mop.A_ineq, dtype) @ xi - jnp.asarray(self.mop.b_ineq, dtype)
-            terms.append(jnp.sum(l_e ** 2))
-            terms.append(jnp.sum(jnp.maximum(l_i, 0.0) ** 2))
-            return sum(terms) if terms else jnp.asarray(0.0, dtype)
+            l_e, l_i, c_e, c_i = true_constraints(xi)
+            return (jnp.sum(c_e ** 2) + jnp.sum(jnp.maximum(c_i, 0.0) ** 2)
+                    + jnp.sum(l_e ** 2) + jnp.sum(jnp.maximum(l_i, 0.0) ** 2))
 
         r0 = jnp.where(jnp.any(jnp.isnan(r_guess)), jnp.zeros_like(x),
-                       jnp.nan_to_num(r_guess) / jnp.maximum(self.scal.scale, 1e-30))
+                       jnp.nan_to_num(r_guess) / jnp.maximum(state.scal.scale, 1e-30))
         xi0 = project_into_box(x + r0, lb, ub)
 
         grad = jax.grad(merit)
@@ -599,10 +662,10 @@ class Solver:
             state = state._replace(groups=groups)
 
         theta_r = theta_of(x_r)
-        x_r_s = scaling.transform(self.scal, x_r)
+        x_r_s = scaling.transform(state.scal, x_r)
         fx_r, c_e_r, c_i_r, groups, idx_r = self.container.evaluate_true(
-            state.groups, x_r_s)
-        l_e_r, l_i_r = self._linear_values(x_r_s)
+            state.groups, x_r_s, state.scal)
+        l_e_r, l_i_r = self._linear_values(x_r_s, state.scal)
         acceptable = flt.is_acceptable(
             state.filter, theta_r, self._filter_objective(fx_r))
 
@@ -647,7 +710,7 @@ class Solver:
 
         omega, d = self._get_criticality(
             inter.groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
-            inter.fx, state.delta)
+            inter.fx, state.delta, state.scal)
 
         theta_n_zero = self._violation_zero(theta_n)
         theta_k_zero = self._violation_zero(theta_k)
@@ -692,10 +755,11 @@ class Solver:
                 groups, omega, d = args
                 groups = self.container.update(
                     groups, inter.x_s, inter.x_indices, delta0,
-                    ensure_fully_linear=True)
+                    ensure_fully_linear=True, scal=inter.scal,
+                    key=jax.random.fold_in(inter.key, 7001))
                 omega, d = self._get_criticality(
                     groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
-                    inter.fx, delta0)
+                    inter.fx, delta0, inter.scal)
                 do_loops = jnp.where(
                     self.container.fully_linear(groups),
                     delta0 > mu * omega, False)
@@ -730,10 +794,11 @@ class Solver:
                     # (``algorithm.jl:575-579``); mirrored for parity.
                     groups = self.container.update(
                         groups, inter.x_s, inter.x_indices, delta0,
-                        ensure_fully_linear=True)
+                        ensure_fully_linear=True, scal=inter.scal,
+                        key=jax.random.fold_in(inter.key, 7100 + n_loops))
                     omega, d = self._get_criticality(
                         groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
-                        inter.fx, delta0)
+                        inter.fx, delta0, inter.scal)
                     tol_exit = (delta <= ac.delta_tol_abs) | \
                         self._omega_tests(omega, delta) | \
                         (~self.container.fully_linear(groups))
@@ -790,15 +855,16 @@ class Solver:
         if isinstance(self.desc_cfg, SteepestDescentConfig):
             # initial stepsize + backtracking (``compute_descent_step``)
             sigma = initial_stepsize(x_s, x_n_s, d, state.delta,
-                                     self.scal.lb_scaled, self.scal.ub_scaled,
+                                     state.scal.lb_scaled, state.scal.ub_scaled,
                                      dtype)
+            scal = state.scal
 
             def eval_mx(groups, xq):
-                return self.container.eval_objectives(groups, xq)
+                return self.container.eval_objectives(groups, xq, scal)
 
             def eval_mx_batch(groups, X, k_used):
                 if X is not None:
-                    return self.container.eval_objectives_batch(groups, X), groups
+                    return self.container.eval_objectives_batch(groups, X, scal), groups
                 return None, self.container.charge_evals(groups, k_used)
 
             x_trial_s, mx_trial_bt, step, groups = backtrack(
@@ -813,16 +879,16 @@ class Solver:
             # (``compute_descent_step`` fallback, ``descent.jl:36-41``)
             x_trial_s = d
 
-        x_trial = scaling.untransform(self.scal, x_trial_s)
+        x_trial = scaling.untransform(state.scal, x_trial_s)
 
         # ---- true evaluation at trial point (``algorithm.jl:760-764``)
         fx_t, c_e_t, c_i_t, groups, idx_t = self.container.evaluate_true(
-            groups, x_trial_s)
-        l_e_t, l_i_t = self._linear_values(x_trial_s)
+            groups, x_trial_s, state.scal)
+        l_e_t, l_i_t = self._linear_values(x_trial_s, state.scal)
 
         # ---- fresh surrogate values at x and x_trial (``:766-767``)
-        mx, groups = self.container.eval_objectives(groups, x_s)
-        mx_t, groups = self.container.eval_objectives(groups, x_trial_s)
+        mx, groups = self.container.eval_objectives(groups, x_s, state.scal)
+        mx_t, groups = self.container.eval_objectives(groups, x_trial_s, state.scal)
 
         theta_t = flt.compute_constraint_val(l_e_t, l_i_t, c_e_t, c_i_t)
         f_t_filter = self._filter_objective(fx_t)

@@ -39,6 +39,7 @@ from morbit_tpu.models.configs import (
 OBJECTIVE = "objective"
 NL_EQ = "nl_eq"
 NL_INEQ = "nl_ineq"
+INNER = "inner"  # modelled function used only inside composites
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -133,6 +134,8 @@ class MOP:
             assert self.lb.shape == self.ub.shape
             self.n_vars = self.lb.shape[0]
         self.functions: list[VecFun] = []
+        self.composites: list[CompositeFun] = []
+        self._order: list[tuple] = []  # addition order over fns + composites
         self._A_eq: list[np.ndarray] = []
         self._b_eq: list[np.ndarray] = []
         self._A_ineq: list[np.ndarray] = []
@@ -145,6 +148,7 @@ class MOP:
                     jac=jac, hess=hess, max_evals=max_evals, host=host,
                     can_batch=can_batch)
         self.functions.append(vf)
+        self._order.append(("fn", len(self.functions) - 1))
         return len(self.functions) - 1
 
     def add_objective(self, fn, n_out=1, model_cfg=None, jac=None, hess=None,
@@ -174,6 +178,39 @@ class MOP:
         cfg = RbfConfig() if model_cfg is None else model_cfg
         return self._add(fn, n_out, cfg, NL_INEQ, jac, hess)
 
+    # -- composite functions (``CompositeVecFun``, ``VecFun.jl``: outer
+    #    phi(x, g(x)) with expensive modelled inner g) ----------------------
+    def add_function(self, fn, n_out=1, model_cfg=None, jac=None, hess=None,
+                     host=False, can_batch=False):
+        """Register an *inner* function (modelled, but not itself an
+        objective/constraint) for use in composites — the ``_add_function!``
+        + ``RefVecFun`` sharing pattern (``MOP.jl:84-107``)."""
+        cfg = RbfConfig() if model_cfg is None else model_cfg
+        return self._add(fn, n_out, cfg, INNER, jac, hess,
+                         host=host, can_batch=can_batch)
+
+    def _add_composite(self, outer, inner_index, n_out, role):
+        assert 0 <= inner_index < len(self.functions)
+        self.composites.append(CompositeFun(
+            outer=outer, inner_index=inner_index, n_out=int(n_out), role=role,
+            order=len(self._order)))
+        self._order.append(("comp", len(self.composites) - 1))
+        return len(self.composites) - 1
+
+    def add_composite_objective(self, outer, inner_index, n_out=1):
+        """Objective ``phi(x, g(x))`` with cheap known ``outer`` and modelled
+        inner ``g`` (added via :meth:`add_function`). The surrogate is
+        ``phi(x, m_g(x))`` with exact chain-rule derivatives
+        (``CompositeVecFun``/``CompositeSurrogate``,
+        ``AbstractSurrogateInterface.jl:193-229``)."""
+        return self._add_composite(outer, inner_index, n_out, OBJECTIVE)
+
+    def add_composite_nl_eq_constraint(self, outer, inner_index, n_out=1):
+        return self._add_composite(outer, inner_index, n_out, NL_EQ)
+
+    def add_composite_nl_ineq_constraint(self, outer, inner_index, n_out=1):
+        return self._add_composite(outer, inner_index, n_out, NL_INEQ)
+
     # -- linear constraints (``AbstractMOPInterface.jl:354-375``) ------------
     def add_eq_constraint(self, A, b):
         """Rows of ``A x - b == 0``."""
@@ -189,7 +226,22 @@ class MOP:
 
     @property
     def num_objectives(self):
-        return sum(f.n_out for f in self.functions if f.role == OBJECTIVE)
+        return (sum(f.n_out for f in self.functions if f.role == OBJECTIVE)
+                + sum(c.n_out for c in self.composites if c.role == OBJECTIVE))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CompositeFun:
+    """Composite ``phi(x, g(x))``: cheap known outer, modelled inner."""
+
+    outer: Callable      # (x (n,), g_vals (k,)) -> (n_out,)
+    inner_index: int     # index into mop.functions (role == INNER allowed too)
+    n_out: int
+    role: str
+    order: int
+
+    def eval_true(self, x, inner_vals):
+        return jnp.atleast_1d(jnp.asarray(self.outer(x, inner_vals)))
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -228,6 +280,19 @@ class GroupSpec:
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
+class CompositeSpec:
+    """Compiled composite: locates the inner function's outputs."""
+
+    outer: Callable
+    role: str
+    global_offset: int
+    n_out: int
+    group_index: int
+    group_offset: int
+    width: int           # inner function's n_out
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class CompiledMOP:
     """Frozen problem (``MOPTyped`` analogue, ``src/MOP.jl:27-82``)."""
 
@@ -242,6 +307,7 @@ class CompiledMOP:
     m_obj: int
     m_ce: int
     m_ci: int
+    composites: tuple = ()  # tuple[CompositeSpec]
 
     @property
     def n_groups(self):
@@ -255,20 +321,38 @@ class CompiledMOP:
     def has_lin_constraints(self):
         return self.A_eq.shape[0] + self.A_ineq.shape[0] > 0
 
-    def scatter_role_vectors(self, group_values: Sequence[jax.Array], dtype):
-        """Map per-group output vectors into (fx, c_e, c_i)."""
+    def scatter_role_vectors(self, group_values: Sequence[jax.Array], dtype,
+                             x=None):
+        """Map per-group output vectors into (fx, c_e, c_i). ``x`` (unscaled)
+        is required when composites are present (outer functions take it)."""
         fx = jnp.zeros((self.m_obj,), dtype)
         c_e = jnp.zeros((self.m_ce,), dtype)
         c_i = jnp.zeros((self.m_ci,), dtype)
+
+        def put(buf, part, off):
+            return jax.lax.dynamic_update_slice_in_dim(buf, part, off, 0)
+
         for g, vals in zip(self.groups, group_values):
             for mb in g.members:
+                if mb.role == INNER:
+                    continue
                 part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
                 if mb.role == OBJECTIVE:
-                    fx = jax.lax.dynamic_update_slice_in_dim(fx, part, mb.global_offset, 0)
+                    fx = put(fx, part, mb.global_offset)
                 elif mb.role == NL_EQ:
-                    c_e = jax.lax.dynamic_update_slice_in_dim(c_e, part, mb.global_offset, 0)
+                    c_e = put(c_e, part, mb.global_offset)
                 else:
-                    c_i = jax.lax.dynamic_update_slice_in_dim(c_i, part, mb.global_offset, 0)
+                    c_i = put(c_i, part, mb.global_offset)
+        for cs in self.composites:
+            inner_vals = jax.lax.dynamic_slice_in_dim(
+                group_values[cs.group_index], cs.group_offset, cs.width)
+            part = jnp.atleast_1d(jnp.asarray(cs.outer(x, inner_vals))).astype(dtype)
+            if cs.role == OBJECTIVE:
+                fx = put(fx, part, cs.global_offset)
+            elif cs.role == NL_EQ:
+                c_e = put(c_e, part, cs.global_offset)
+            else:
+                c_i = put(c_i, part, cs.global_offset)
         return fx, c_e, c_i
 
 
@@ -296,13 +380,21 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
             group_lists.append([i])
             group_cfgs.append(f.model_cfg)
 
-    role_offsets = {OBJECTIVE: 0, NL_EQ: 0, NL_INEQ: 0}
-    # global offsets follow function addition order (reference orders outputs
-    # by objective index ordering)
+    role_offsets = {OBJECTIVE: 0, NL_EQ: 0, NL_INEQ: 0, INNER: 0}
+    # global offsets follow the combined addition order over plain functions
+    # and composites (reference orders outputs by index ordering)
     fn_global_offset = {}
-    for i, f in enumerate(mop.functions):
-        fn_global_offset[i] = role_offsets[f.role]
-        role_offsets[f.role] += f.n_out
+    comp_global_offset = {}
+    order = mop._order or [("fn", i) for i in range(len(mop.functions))]
+    for kind, i in order:
+        if kind == "fn":
+            f = mop.functions[i]
+            fn_global_offset[i] = role_offsets[f.role]
+            role_offsets[f.role] += f.n_out
+        else:
+            c = mop.composites[i]
+            comp_global_offset[i] = role_offsets[c.role]
+            role_offsets[c.role] += c.n_out
 
     groups = []
     for gi, fn_ids in enumerate(group_lists):
@@ -323,6 +415,25 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
             m=off, max_evals=max_ev, has_objective=has_obj,
         ))
 
+    # locate each composite's inner function inside its group
+    fn_location = {}
+    for g in groups:
+        for mb in g.members:
+            fn_location[mb.fn_index] = (g.index, mb.group_offset)
+    composites = []
+    obj_groups = set()
+    for ci, c in enumerate(mop.composites):
+        gi, goff = fn_location[c.inner_index]
+        composites.append(CompositeSpec(
+            outer=c.outer, role=c.role, global_offset=comp_global_offset[ci],
+            n_out=c.n_out, group_index=gi, group_offset=goff,
+            width=mop.functions[c.inner_index].n_out))
+        if c.role == OBJECTIVE:
+            obj_groups.add(gi)
+    # groups feeding composite objectives count toward the eval budget
+    groups = [dataclasses.replace(g, has_objective=True) if g.index in obj_groups
+              and not g.has_objective else g for g in groups]
+
     n = mop.n_vars
     A_eq = np.vstack(mop._A_eq) if mop._A_eq else np.zeros((0, n))
     b_eq = np.concatenate(mop._b_eq) if mop._b_eq else np.zeros((0,))
@@ -335,4 +446,5 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
         groups=tuple(groups),
         m_obj=role_offsets[OBJECTIVE], m_ce=role_offsets[NL_EQ],
         m_ci=role_offsets[NL_INEQ],
+        composites=tuple(composites),
     )

@@ -106,6 +106,52 @@ def estimate_auto_scaler(jacobian: np.ndarray, lb, ub) -> VarScaler:
                      lb_scaled=scale * lbj, ub_scaled=scale * ubj)
 
 
+def estimate_linear_scaling_traced(J, lb, ub, bounded_mask) -> VarScaler:
+    """Traced version of :func:`estimate_auto_scaler` for the in-loop
+    ``var_scaler_update = :model`` path (``new_var_scaler``,
+    ``VarScaler.jl:240-260``). ``bounded_mask`` is a static numpy bool mask
+    of finitely-bounded coordinates."""
+    import numpy as _np
+
+    dtype = J.dtype
+    n = J.shape[1]
+    w = ub - lb
+
+    def col_factor(col, log_target_sum, target_nnz):
+        nz = col != 0
+        nnz = jnp.sum(nz)
+        safe = jnp.where(nz, jnp.abs(col), 1.0)
+        exp_arg = -jnp.sum(jnp.log(safe)) + log_target_sum
+        return jnp.where(nnz > 0,
+                         jnp.exp(exp_arg / jnp.maximum(nnz + target_nnz, 1)),
+                         1.0)
+
+    bounded_mask = _np.asarray(bounded_mask)
+    if bounded_mask.any():
+        Jb = J[:, bounded_mask] / w[bounded_mask][None, :]
+        target = jnp.mean(jnp.abs(Jb), axis=1)  # (rows,)
+    else:
+        target = None
+
+    factors = []
+    for j in range(n):
+        if bounded_mask[j]:
+            factors.append(1.0 / w[j])
+        else:
+            col = J[:, j]
+            if target is not None:
+                nz = col != 0
+                safe_t = jnp.where(nz & (target != 0), jnp.abs(target), 1.0)
+                log_t = jnp.sum(jnp.log(safe_t))
+                factors.append(col_factor(col, log_t, 0))
+            else:
+                factors.append(col_factor(col, 0.0, 0))
+    scale = jnp.clip(jnp.stack([jnp.asarray(f, dtype) for f in factors]),
+                     MIN_SCALING_FACTOR, MAX_SCALING_FACTOR)
+    return VarScaler(scale=scale, offset=jnp.zeros_like(scale),
+                     lb_scaled=scale * lb, ub_scaled=scale * ub)
+
+
 def get_var_scaler(lb, ub, mode: str = "default") -> VarScaler:
     """Pick the scaler from the config setting (``VarScaler.jl:195-238``).
 

@@ -31,6 +31,9 @@ class ModelContext(NamedTuple):
     x_index: jax.Array  # int32 — row of the iterate in this group's database
     delta: jax.Array    # scalar trust-region radius
     n_evals: jax.Array  # int32 — group eval counter (for round-3 budgets)
+    scal: object        # VarScaler — current variable scaling (lives in state
+                        # so per-iteration rescaling stays on device)
+    key: jax.Array      # PRNG key (round-4 use_max_points random sampling)
 
 
 class SurrogateOps:
@@ -62,10 +65,10 @@ class SurrogateOps:
     def prepare_improve(self, state, db, ctx: ModelContext):
         return state, db
 
-    def eval(self, state, x_s):
+    def eval(self, state, x_s, scal=None):
         raise NotImplementedError
 
-    def jac(self, state, x_s):
+    def jac(self, state, x_s, scal=None):
         raise NotImplementedError
 
     def fully_linear(self, state):

@@ -99,7 +99,8 @@ class TaylorConfig:
     def __post_init__(self):
         assert 1 <= self.degree <= 2
         assert self.mode in ("fd", "callback")
-        assert self.fd_stamp in ("cfd1", "ffd1", "bfd1")
+        from morbit_tpu.models.taylor import STAMPS
+        assert self.fd_stamp in STAMPS
 
     @property
     def combinable(self) -> bool:

@@ -90,14 +90,15 @@ class SurrogateContainer:
         return tuple(states)
 
     # --------------------------------------------------------- true evaluation
-    def evaluate_true(self, states, x_s):
+    def evaluate_true(self, states, x_s, scal=None):
         """Evaluate all groups' true functions at one scaled site, insert the
         results into each group database, and bump the counters — the
         ``evaluate_at_unscaled_site`` + ``put_eval_result_into_db!`` pair
         (``algorithm.jl:760-764``).
 
         Returns (fx, c_e, c_i, new_states, x_indices)."""
-        x = scaling.untransform(self.scal, x_s)
+        scal = scal if scal is not None else self.scal
+        x = scaling.untransform(scal, x_s)
         group_vals = []
         new_states = []
         x_indices = []
@@ -107,16 +108,17 @@ class SurrogateContainer:
             group_vals.append(vals)
             x_indices.append(idx)
             new_states.append(st._replace(db=db, n_evals=st.n_evals + 1))
-        fx, c_e, c_i = self.mop.scatter_role_vectors(group_vals, self.dtype)
+        fx, c_e, c_i = self.mop.scatter_role_vectors(group_vals, self.dtype, x)
         return fx, c_e, c_i, tuple(new_states), jnp.stack(x_indices)
 
-    def ensure_evaluated(self, states, x_s):
+    def ensure_evaluated(self, states, x_s, scal=None):
         """Like :meth:`evaluate_true`, but reuse an existing database row with
         the same site instead of re-evaluating (``ensure_contains_values!``,
         used when recycling a populated database; ``algorithm.jl:289-295``)."""
         from morbit_tpu.core import scaling as _sc
 
-        x = _sc.untransform(self.scal, x_s)
+        scal = scal if scal is not None else self.scal
+        x = _sc.untransform(scal, x_s)
         group_vals = []
         new_states = []
         x_indices = []
@@ -134,27 +136,32 @@ class SurrogateContainer:
             group_vals.append(vals)
             x_indices.append(idx)
             new_states.append(st._replace(db=db, n_evals=n_evals))
-        fx, c_e, c_i = self.mop.scatter_role_vectors(group_vals, self.dtype)
+        fx, c_e, c_i = self.mop.scatter_role_vectors(group_vals, self.dtype, x)
         return fx, c_e, c_i, tuple(new_states), jnp.stack(x_indices)
 
     # ------------------------------------------------------------ model update
-    def _contexts(self, states, x_s, x_indices, delta):
+    def _contexts(self, states, x_s, x_indices, delta, scal, key=None):
+        scal = scal if scal is not None else self.scal
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, len(states))
         return [
             ModelContext(x_s=x_s, x_index=x_indices[i], delta=delta,
-                         n_evals=states[i].n_evals)
+                         n_evals=states[i].n_evals, scal=scal, key=keys[i])
             for i in range(len(states))
         ]
 
-    def update(self, states, x_s, x_indices, delta, ensure_fully_linear: bool):
+    def update(self, states, x_s, x_indices, delta, ensure_fully_linear: bool,
+               scal=None, key=None):
         """``update_surrogates!`` (``SurrogateContainer.jl:334-391``):
         prepare all groups, batch-evaluate missing sites, fit."""
-        ctxs = self._contexts(states, x_s, x_indices, delta)
+        ctxs = self._contexts(states, x_s, x_indices, delta, scal, key)
         return self._two_phase(states, ctxs, ensure_fully_linear, improve=False)
 
-    def improve(self, states, x_s, x_indices, delta):
+    def improve(self, states, x_s, x_indices, delta, scal=None, key=None):
         """``improve_surrogates!`` — one improvement step per non-fully-linear
         group, then re-fit."""
-        ctxs = self._contexts(states, x_s, x_indices, delta)
+        ctxs = self._contexts(states, x_s, x_indices, delta, scal, key)
         return self._two_phase(states, ctxs, False, improve=True)
 
     def _two_phase(self, states, ctxs, ensure_fully_linear, improve):
@@ -172,8 +179,9 @@ class SurrogateContainer:
             mid.append(st._replace(model=model, db=db))
         # batched evaluation of missing sites (``eval_missing!``)
         evaled = []
+        eval_scal = ctxs[0].scal if ctxs else self.scal
         for g, st in zip(self.mop.groups, mid):
-            fn = lambda xs, g=g: g.eval_unscaled(scaling.untransform(self.scal, xs))
+            fn = lambda xs, g=g: g.eval_unscaled(scaling.untransform(eval_scal, xs))
             db, n_new = dbm.eval_missing(st.db, fn)
             evaled.append(st._replace(db=db, n_evals=st.n_evals + n_new))
         # phase 2
@@ -184,7 +192,7 @@ class SurrogateContainer:
         return tuple(out)
 
     # ------------------------------------------------------------- model evals
-    def _gather(self, states, x_s, which, role, counted=True):
+    def _gather(self, states, x_s, which, role, counted=True, scal=None):
         """Evaluate/differentiate group models, scatter into a role vector."""
         n = self.mop.n_vars
         dt = self.dtype
@@ -195,36 +203,60 @@ class SurrogateContainer:
         else:
             out = jnp.zeros((m_role, n), dt)
         new_states = list(states)
+        comps = [cs for cs in self.mop.composites if cs.role == role]
+        comp_groups = {cs.group_index for cs in comps}
+        eff_scal = scal if scal is not None else self.scal
         for g, ops in zip(self.mop.groups, self.ops):
             members = [mb for mb in g.members if mb.role == role]
-            if not members:
+            if not members and g.index not in comp_groups:
                 continue
             st = states[g.index]
+            if which == "eval" and ops.counts_on_eval and counted:
+                new_states[g.index] = st._replace(n_evals=st.n_evals + 1)
+
             if which == "eval":
-                vals = ops.eval(st.model, x_s)
-                if ops.counts_on_eval and counted:
-                    new_states[g.index] = st._replace(n_evals=st.n_evals + 1)
+                vals = ops.eval(st.model, x_s, scal)
             else:
-                vals = ops.jac(st.model, x_s)
+                vals = ops.jac(st.model, x_s, scal)
             for mb in members:
                 part = jax.lax.dynamic_slice_in_dim(vals, mb.group_offset, mb.n_out)
                 out = jax.lax.dynamic_update_slice_in_dim(out, part, mb.global_offset, 0)
+
+        # composite entries: phi(untransform(x_s), m_inner(x_s)); Jacobians
+        # by forward-mode autodiff through the composition (the chain rule of
+        # ``CompositeSurrogate``, ``AbstractSurrogateInterface.jl:193-229``)
+        for cs in comps:
+            ops = self.ops[cs.group_index]
+            st = states[cs.group_index]
+
+            def composed(xq, cs=cs, ops=ops, st=st):
+                inner = ops.eval(st.model, xq, scal)
+                part = jax.lax.dynamic_slice_in_dim(inner, cs.group_offset, cs.width)
+                xu = scaling.untransform(eff_scal, xq)
+                return jnp.atleast_1d(jnp.asarray(cs.outer(xu, part))).astype(self.dtype)
+
+            if which == "eval":
+                part = composed(x_s)
+            else:
+                part = jax.jacfwd(composed)(x_s)
+            out = jax.lax.dynamic_update_slice_in_dim(out, part, cs.global_offset, 0)
         return out, tuple(new_states)
 
-    def eval_objectives(self, states, x_s):
+    def eval_objectives(self, states, x_s, scal=None):
         """``eval_container_objectives_at_scaled_site``
         (``SurrogateContainer.jl:234-269``)."""
-        return self._gather(states, x_s, "eval", OBJECTIVE)
+        return self._gather(states, x_s, "eval", OBJECTIVE, scal=scal)
 
-    def eval_objectives_raw(self, states, x_s):
+    def eval_objectives_raw(self, states, x_s, scal=None):
         """Model values without eval counting (used inside vmapped sweeps
         of the PS/ideal-point subsolvers where counters cannot thread)."""
-        out, _ = self._gather(states, x_s, "eval", OBJECTIVE, counted=False)
+        out, _ = self._gather(states, x_s, "eval", OBJECTIVE, counted=False,
+                              scal=scal)
         return out
 
-    def eval_objectives_batch(self, states, X):
+    def eval_objectives_batch(self, states, X, scal=None):
         """(K, m_obj) model objective values at a batch of sites, uncounted."""
-        return jax.vmap(lambda xq: self.eval_objectives_raw(states, xq))(X)
+        return jax.vmap(lambda xq: self.eval_objectives_raw(states, xq, scal))(X)
 
     def charge_evals(self, states, k):
         """Add ``k`` true-function evals to every exact-model group (used by
@@ -237,31 +269,42 @@ class SurrogateContainer:
             out.append(st)
         return tuple(out)
 
-    def eval_nl_eq_raw(self, states, x_s):
-        out, _ = self._gather(states, x_s, "eval", NL_EQ, counted=False)
+    def eval_nl_eq_raw(self, states, x_s, scal=None):
+        out, _ = self._gather(states, x_s, "eval", NL_EQ, counted=False, scal=scal)
         return out
 
-    def eval_nl_ineq_raw(self, states, x_s):
-        out, _ = self._gather(states, x_s, "eval", NL_INEQ, counted=False)
+    def eval_nl_ineq_raw(self, states, x_s, scal=None):
+        out, _ = self._gather(states, x_s, "eval", NL_INEQ, counted=False, scal=scal)
         return out
 
-    def jac_objectives(self, states, x_s):
-        out, _ = self._gather(states, x_s, "jac", OBJECTIVE)
+    def jac_objectives(self, states, x_s, scal=None):
+        out, _ = self._gather(states, x_s, "jac", OBJECTIVE, scal=scal)
         return out
 
-    def eval_nl_eq(self, states, x_s):
-        return self._gather(states, x_s, "eval", NL_EQ)
+    def eval_nl_eq(self, states, x_s, scal=None):
+        return self._gather(states, x_s, "eval", NL_EQ, scal=scal)
 
-    def eval_nl_ineq(self, states, x_s):
-        return self._gather(states, x_s, "eval", NL_INEQ)
+    def eval_nl_ineq(self, states, x_s, scal=None):
+        return self._gather(states, x_s, "eval", NL_INEQ, scal=scal)
 
-    def jac_nl_eq(self, states, x_s):
-        out, _ = self._gather(states, x_s, "jac", NL_EQ)
+    def jac_nl_eq(self, states, x_s, scal=None):
+        out, _ = self._gather(states, x_s, "jac", NL_EQ, scal=scal)
         return out
 
-    def jac_nl_ineq(self, states, x_s):
-        out, _ = self._gather(states, x_s, "jac", NL_INEQ)
+    def jac_nl_ineq(self, states, x_s, scal=None):
+        out, _ = self._gather(states, x_s, "jac", NL_INEQ, scal=scal)
         return out
+
+    def jac_all(self, states, x_s, scal=None):
+        """Stacked model Jacobian of every function (objectives then nl
+        constraints) — used by the :model scaler update
+        (``new_var_scaler``, ``VarScaler.jl:240-260``)."""
+        parts = [self.jac_objectives(states, x_s, scal)]
+        if self.mop.m_ce > 0:
+            parts.append(self.jac_nl_eq(states, x_s, scal))
+        if self.mop.m_ci > 0:
+            parts.append(self.jac_nl_ineq(states, x_s, scal))
+        return jnp.concatenate(parts, axis=0)
 
     # ------------------------------------------------------------------- flags
     def fully_linear(self, states):

@@ -21,14 +21,16 @@ class ExactOps(SurrogateOps):
     def init_state(self):
         return ()
 
-    def eval(self, state, x_s):
-        x = scaling.untransform(self.scal, x_s)
+    def eval(self, state, x_s, scal=None):
+        scal = scal if scal is not None else self.scal
+        x = scaling.untransform(scal, x_s)
         return self.group.eval_unscaled(x)
 
-    def jac(self, state, x_s):
-        x = scaling.untransform(self.scal, x_s)
+    def jac(self, state, x_s, scal=None):
+        scal = scal if scal is not None else self.scal
+        x = scaling.untransform(scal, x_s)
         J = self.group.jac_unscaled(x)           # (m, n) wrt unscaled x
-        return J / self.scal.scale[None, :]      # chain rule: d(untransform) = diag(1/scale)
+        return J / scal.scale[None, :]           # chain rule: d(untransform) = diag(1/scale)
 
     def fully_linear(self, state):
         return jnp.asarray(True)

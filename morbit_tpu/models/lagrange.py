@@ -121,7 +121,7 @@ class LagrangeOps(SurrogateOps):
         dt = self.dtype
         x = ctx.x_s
         lb, ub = local_bounds(x, ctx.delta * cfg.theta_enlarge,
-                              self.scal.lb_scaled, self.scal.ub_scaled)
+                              ctx.scal.lb_scaled, ctx.scal.ub_scaled)
         w = ub - lb
 
         # candidates: [x; db points in box], scaled to [0,1]^n (``:493-496``)
@@ -230,11 +230,11 @@ class LagrangeOps(SurrogateOps):
         return state._replace(coef=coef)
 
     # ---- evaluation ------------------------------------------------------------
-    def eval(self, state, x_s):
+    def eval(self, state, x_s, scal=None):
         u = (x_s - state.lb) / (state.ub - state.lb)
         return state.coef.T @ self._phi(u)
 
-    def jac(self, state, x_s):
+    def jac(self, state, x_s, scal=None):
         return jax.jacfwd(lambda xx: self.eval(state, xx))(x_s)
 
     def fully_linear(self, state):

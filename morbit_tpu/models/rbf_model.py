@@ -182,9 +182,9 @@ class RbfOps(SurrogateOps):
             x = ctx.x_s
             dt = self.dtype
             delta_2 = jnp.asarray(cfg.theta_enlarge_2 * self.ac.delta_max, dt)
-            lb2, ub2 = local_bounds(x, delta_2, self.scal.lb_scaled,
-                                    self.scal.ub_scaled)
-            idx, count = self._round4(db, state.idx, state.n_train, lb2, ub2, ctx)
+            lb2, ub2 = local_bounds(x, delta_2, ctx.scal.lb_scaled,
+                                    ctx.scal.ub_scaled)
+            db, idx, count = self._round4(db, state.idx, state.n_train, lb2, ub2, ctx)
             state = state._replace(idx=idx, n_train=count)
         return state, db
 
@@ -196,10 +196,10 @@ class RbfOps(SurrogateOps):
         delta = ctx.delta
 
         delta_1 = jnp.asarray(cfg.theta_enlarge_1, dt) * delta
-        lb1, ub1 = local_bounds(x, delta_1, self.scal.lb_scaled, self.scal.ub_scaled)
+        lb1, ub1 = local_bounds(x, delta_1, ctx.scal.lb_scaled, ctx.scal.ub_scaled)
         piv1 = jnp.asarray(cfg.theta_pivot, dt) * delta_1
         delta_2 = jnp.asarray(cfg.theta_enlarge_2 * self.ac.delta_max, dt)
-        lb2, ub2 = local_bounds(x, delta_2, self.scal.lb_scaled, self.scal.ub_scaled)
+        lb2, ub2 = local_bounds(x, delta_2, ctx.scal.lb_scaled, ctx.scal.ub_scaled)
         piv2 = piv1  # (``RbfModel.jl:560``)
 
         num_unevaluated = jnp.sum(dbm.valid_mask(db) & (~db.evaluated)).astype(jnp.int32)
@@ -288,7 +288,7 @@ class RbfOps(SurrogateOps):
 
         # ---- round 4: Cholesky-bounded extra points (``:641-652``)
         if cfg.optimized_sampling and self.max_points > n + 1:
-            idx, count = self._round4(db, idx, count, lb2, ub2, ctx)
+            db, idx, count = self._round4(db, idx, count, lb2, ub2, ctx)
 
         state = state._replace(
             idx=idx,
@@ -312,21 +312,50 @@ class RbfOps(SurrogateOps):
             & (jnp.arange(self.cap_train)[None, :] < count), axis=1)
         cand = in_box & (~in_training)
 
+        # use_max_points: append random in-box candidates after the database
+        # rows (``RbfModel.jl:408-417``: tried only once the db is exhausted,
+        # which candidate ordering preserves; max_tries = 10*max_points)
+        n_rand = 10 * self.max_points if self.cfg.use_max_points else 0
+        X_all = db.X
+        cand_all = cand
+        if n_rand:
+            u = jax.random.uniform(ctx.key, (n_rand, self.n_vars),
+                                   dtype=self.dtype)
+            rand_pts = lb2[None, :] + (ub2 - lb2)[None, :] * u
+            X_all = jnp.concatenate([db.X, rand_pts], axis=0)
+            cand_all = jnp.concatenate([cand, jnp.ones((n_rand,), bool)])
+
         init_sites, _ = dbm.get_rows(db, idx)
         param = self._resolve_param(ctx.delta)
         st4 = run_round4(
-            db.X, cand, init_sites, count,
+            X_all, cand_all, init_sites, count,
             kernel=self.kernel, param=param, poly_deg=self.poly_deg,
             max_points=self.max_points,
             chol_pivot=jnp.asarray(self.cfg.theta_pivot_cholesky ** 2, self.dtype),
-            max_candidates=min(cap, 10 * self.max_points),
+            max_candidates=min(cap, 10 * self.max_points) + n_rand,
         )
-        # append accepted rows in database (insertion) order
-        acc = st4.accepted
-        pos = count + jnp.cumsum(acc.astype(jnp.int32)) - 1
-        target = jnp.where(acc, pos, self.cap_train)
+        # append accepted db rows in database (insertion) order
+        acc_db = st4.accepted[:cap]
+        pos = count + jnp.cumsum(acc_db.astype(jnp.int32)) - 1
+        target = jnp.where(acc_db, pos, self.cap_train)
         idx = idx.at[target].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
-        return idx, st4.N
+        count = count + jnp.sum(acc_db).astype(jnp.int32)
+        # accepted random points become new unevaluated database sites
+        if n_rand:
+            acc_r = st4.accepted[cap:]
+
+            def add_rand(i, carry):
+                db, idx, count = carry
+                do = acc_r[i]
+                db, new_id = dbm.add_site(db, X_all[cap + i], do_add=do)
+                slot = jnp.clip(count, 0, self.cap_train - 1)
+                idx = jnp.where(do, idx.at[slot].set(new_id), idx)
+                count = jnp.where(do, count + 1, count)
+                return db, idx, count
+
+            db, idx, count = jax.lax.fori_loop(
+                0, n_rand, add_rand, (db, idx, count))
+        return db, idx, count
 
     # ------------------------------------------------------------------ improve
     def prepare_improve(self, state, db, ctx: ModelContext):
@@ -340,7 +369,7 @@ class RbfOps(SurrogateOps):
         do = (~state.fully_linear) & (state.dirs_head < state.dirs_count)
 
         delta_1 = jnp.asarray(cfg.theta_enlarge_1, dt) * ctx.delta
-        lb1, ub1 = local_bounds(x, delta_1, self.scal.lb_scaled, self.scal.ub_scaled)
+        lb1, ub1 = local_bounds(x, delta_1, ctx.scal.lb_scaled, ctx.scal.ub_scaled)
         piv1 = jnp.asarray(cfg.theta_pivot, dt) * delta_1
 
         d = state.dirs[jnp.clip(state.dirs_head, 0, self.n_vars - 1)]
@@ -379,11 +408,11 @@ class RbfOps(SurrogateOps):
             return self._static_param
         return state.fit.param
 
-    def eval(self, state, x_s):
+    def eval(self, state, x_s, scal=None):
         return eval_rbf(state.fit, x_s, self.kernel, self.poly_deg,
                         param=self._eval_param(state))
 
-    def jac(self, state, x_s):
+    def jac(self, state, x_s, scal=None):
         return rbf_jacobian(state.fit, x_s, self.kernel, self.poly_deg,
                             param=self._eval_param(state))
 

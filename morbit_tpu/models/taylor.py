@@ -37,11 +37,22 @@ from morbit_tpu.models.base import ModelContext, SurrogateOps
 from morbit_tpu.ops.geometry import project_into_box
 
 # First-order stamps: (grid, coefficients) with derivative ~ sum c_a f(x + h g_a e_i) / h
-# (coefficient tables mirror ``RecursiveFiniteDifferences.jl:55-146``)
+# (coefficient tables mirror ``RecursiveFiniteDifferences.jl:55-182``:
+# CFDStamp(1, acc) / FFDStamp(1, acc) / BFDStamp(1, acc))
 STAMPS = {
-    "cfd1": (np.array([-1, 0, 1]), np.array([-0.5, 0.0, 0.5])),
-    "ffd1": (np.array([0, 1]), np.array([-1.0, 1.0])),
-    "bfd1": (np.array([0, -1]), np.array([1.0, -1.0])),
+    "cfd1": (np.array([-1, 0, 1]), np.array([-0.5, 0.0, 0.5])),            # CFD(1,2)
+    "cfd1_4": (np.arange(-2, 3),
+               np.array([1 / 12, -2 / 3, 0.0, 2 / 3, -1 / 12])),           # CFD(1,4)
+    "cfd1_6": (np.arange(-3, 4),
+               np.array([-1 / 60, 3 / 20, -3 / 4, 0.0, 3 / 4, -3 / 20, 1 / 60])),  # CFD(1,6)
+    "ffd1": (np.array([0, 1]), np.array([-1.0, 1.0])),                     # FFD(1,1)
+    "ffd1_2": (np.array([0, 1, 2]), np.array([-1.5, 2.0, -0.5])),          # FFD(1,2)
+    "ffd1_3": (np.array([0, 1, 2, 3]),
+               np.array([-11 / 6, 3.0, -1.5, 1 / 3])),                     # FFD(1,3)
+    "bfd1": (np.array([0, -1]), np.array([1.0, -1.0])),                    # BFD(1,1)
+    "bfd1_2": (np.array([0, -1, -2]), np.array([1.5, -2.0, 0.5])),         # BFD(1,2)
+    "bfd1_3": (np.array([0, -1, -2, -3]),
+               np.array([11 / 6, -3.0, 1.5, -1 / 3])),                     # BFD(1,3)
 }
 
 
@@ -138,7 +149,7 @@ class TaylorOps(SurrogateOps):
         if self.cfg.mode != "fd":
             return state, db
         x = ctx.x_s
-        lb, ub = self.scal.lb_scaled, self.scal.ub_scaled
+        lb, ub = ctx.scal.lb_scaled, ctx.scal.ub_scaled
         sites = x[None, :] + self.h * jnp.asarray(self.O, self.dtype)
         sites = jax.vmap(lambda s: project_into_box(s, lb, ub))(sites)
 
@@ -173,9 +184,9 @@ class TaylorOps(SurrogateOps):
             else:
                 H = jnp.zeros_like(state.H)
         else:
-            xu = scaling.untransform(self.scal, x)
+            xu = scaling.untransform(ctx.scal, x)
             Ju = self.group.jac_unscaled(xu)             # (m, n) wrt unscaled
-            inv_s = 1.0 / self.scal.scale
+            inv_s = 1.0 / ctx.scal.scale
             g = Ju * inv_s[None, :]
             if self.degree >= 2:
                 Hu = self.group.hess_unscaled(xu)        # (m, n, n)
@@ -189,14 +200,14 @@ class TaylorOps(SurrogateOps):
             state._replace(site_idx=new.site_idx))
 
     # -- evaluation ------------------------------------------------------------
-    def eval(self, state, x_s):
+    def eval(self, state, x_s, scal=None):
         h = x_s - state.x0
         out = state.fx0 + state.g @ h
         if self.degree >= 2:
             out = out + 0.5 * jnp.einsum("i,mij,j->m", h, state.H, h)
         return out
 
-    def jac(self, state, x_s):
+    def jac(self, state, x_s, scal=None):
         if self.degree >= 2:
             h = x_s - state.x0
             # 0.5*(H + H') h  (``TaylorModel.jl`` get_gradient)
