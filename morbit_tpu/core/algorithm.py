@@ -134,15 +134,6 @@ class Solver:
         else:
             self.scal = scaling.get_var_scaler(lb, ub, ac.var_scaler)
 
-        # linear constraints transformed to scaled space
-        # (``transformed_linear_constraints``, ``AbstractMOPInterface.jl:476``):
-        # A x - b = A D^-1 x_s - (b + A D^-1 t)
-        inv_s = 1.0 / self.scal.scale
-        self.A_eq_s = jnp.asarray(mop.A_eq, dtype) * inv_s[None, :]
-        self.b_eq_s = jnp.asarray(mop.b_eq, dtype) + self.A_eq_s @ self.scal.offset
-        self.A_ineq_s = jnp.asarray(mop.A_ineq, dtype) * inv_s[None, :]
-        self.b_ineq_s = jnp.asarray(mop.b_ineq, dtype) + self.A_ineq_s @ self.scal.offset
-
         max_model_pts = max(
             [g.cfg.resolved_max_points(mop.n_vars)
              for g in mop.groups if hasattr(g.cfg, "resolved_max_points")],
