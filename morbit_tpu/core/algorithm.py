@@ -112,7 +112,10 @@ class Solver:
     ``initialize`` / ``iterate`` / ``solve`` functions."""
 
     def __init__(self, mop: CompiledMOP, ac: Optional[AlgorithmConfig] = None,
-                 dtype=jnp.float64, x0_hint=None):
+                 dtype=jnp.float64, x0_hint=None, live_log: bool = False):
+        #: live per-iteration banner from inside the jitted loop
+        #: (``algorithm.jl:651-659``) via jax.debug.print
+        self.live_log = live_log
         self.mop = mop
         self.ac = ac or AlgorithmConfig()
         self.dtype = dtype
@@ -482,6 +485,12 @@ class Solver:
     def _iterate_inner(self, state: SolverState) -> SolverState:
         ac = self.ac
         dtype = self.dtype
+
+        if self.live_log:
+            jax.debug.print(
+                "| Iteration {i}: delta={d:.3e} evals={e} x={x} f={f}",
+                i=state.iter_counter, d=state.delta,
+                e=self._total_evals(state.groups), x=state.x, f=state.fx)
 
         # ---- per-iteration scaler update (``new_var_scaler`` + database
         # retransform, ``algorithm.jl:661-679``, ``VarScaler.jl:240-260``)
@@ -1055,7 +1064,8 @@ def optimize(mop, x0, algo_config: Optional[AlgorithmConfig] = None,
         algo_config = dataclasses.replace(algo_config, **kwargs)
     cmop = mop if isinstance(mop, CompiledMOP) else compile_mop(
         mop, algo_config.combine_models)
-    solver = Solver(cmop, algo_config, dtype, x0_hint=x0)
+    solver = Solver(cmop, algo_config, dtype, x0_hint=x0,
+                    live_log=verbosity >= 3)
 
     if populated_db is None:
         def full(x0):

@@ -191,6 +191,8 @@ class MOP:
 
     def _add_composite(self, outer, inner_index, n_out, role):
         assert 0 <= inner_index < len(self.functions)
+        if isinstance(outer, str):
+            outer = outer_fn_from_expr(outer)
         self.composites.append(CompositeFun(
             outer=outer, inner_index=inner_index, n_out=int(n_out), role=role,
             order=len(self._order)))
@@ -228,6 +230,23 @@ class MOP:
     def num_objectives(self):
         return (sum(f.n_out for f in self.functions if f.role == OBJECTIVE)
                 + sum(c.n_out for c in self.composites if c.role == OBJECTIVE))
+
+
+def outer_fn_from_expr(expr: str) -> Callable:
+    """Build an outer function from an expression string over ``x`` and ``g``
+    (the reference's ``outer_fn_from_expr``/``make_outer_fun`` feature via
+    ``GeneralizedGenerated``, ``VecFun.jl``). Example::
+
+        mop.add_composite_objective("x[0] + jnp.sum(g**2)", gidx)
+
+    The expression is evaluated with ``jnp`` (and ``jnp`` aliased as ``np``)
+    in scope; indexing is 0-based (Python)."""
+    code = compile(expr, "<outer_fn>", "eval")
+
+    def outer(x, g):
+        return eval(code, {"jnp": jnp, "np": jnp, "x": x, "g": g})
+
+    return outer
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
