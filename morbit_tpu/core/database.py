@@ -74,7 +74,9 @@ def add_evaluated(db: Database, x: jax.Array, y: jax.Array, do_add=True) -> tupl
 
 
 def eval_missing(
-    db: Database, eval_fn_scaled: Callable[[jax.Array], jax.Array]
+    db: Database,
+    eval_fn_scaled: Callable[[jax.Array], jax.Array],
+    window: int | None = None,
 ) -> tuple[Database, jax.Array]:
     """Evaluate all unevaluated rows in one batched call.
 
@@ -84,12 +86,32 @@ def eval_missing(
     the updated db and the number of evaluations performed (for the budget
     counters; masked rows are computed but not counted, matching the
     reference's per-``CountedFunc`` call counting).
+
+    ``window``: static bound on how many trailing rows can be unevaluated
+    (rows are append-only and every model-update cycle ends with an
+    eval_missing pass, so unevaluated rows live in the tail). When given,
+    only that tail slice is evaluated — O(window) instead of O(capacity)
+    true-function work per update.
     """
-    missing = valid_mask(db) & (~db.evaluated)
-    new_vals = jax.vmap(eval_fn_scaled)(db.X)
-    Y = jnp.where(missing[:, None], new_vals, db.Y)
-    n_evals = jnp.sum(missing).astype(jnp.int32)
-    return Database(db.X, Y, db.evaluated | missing, db.count), n_evals
+    cap = db.X.shape[0]
+    if window is None or window >= cap:
+        missing = valid_mask(db) & (~db.evaluated)
+        new_vals = jax.vmap(eval_fn_scaled)(db.X)
+        Y = jnp.where(missing[:, None], new_vals, db.Y)
+        n_evals = jnp.sum(missing).astype(jnp.int32)
+        return Database(db.X, Y, db.evaluated | missing, db.count), n_evals
+
+    start = jnp.clip(db.count - window, 0, cap - window)
+    Xw = jax.lax.dynamic_slice_in_dim(db.X, start, window, axis=0)
+    idx = start + jnp.arange(window)
+    missing_w = (idx < db.count) & (~db.evaluated[idx])
+    vals_w = jax.vmap(eval_fn_scaled)(Xw)
+    Yw_old = jax.lax.dynamic_slice_in_dim(db.Y, start, window, axis=0)
+    Yw = jnp.where(missing_w[:, None], vals_w, Yw_old)
+    Y = jax.lax.dynamic_update_slice_in_dim(db.Y, Yw, start, axis=0)
+    evaluated = db.evaluated.at[idx].set(db.evaluated[idx] | missing_w)
+    n_evals = jnp.sum(missing_w).astype(jnp.int32)
+    return Database(db.X, Y, evaluated, db.count), n_evals
 
 
 def results_in_box(

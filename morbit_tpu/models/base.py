@@ -44,6 +44,10 @@ class SurrogateOps:
     #: function, ``src/models/ExactModel.jl:22-119``).
     counts_on_eval: bool = False
 
+    #: static bound on new (unevaluated) sites one prepare/improve call can
+    #: add — lets eval_missing evaluate only a tail window of the database
+    eval_window: int = 1
+
     def __init__(self, group, n_vars: int, dtype, ac, scal):
         self.group = group
         self.cfg = group.cfg

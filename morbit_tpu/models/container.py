@@ -180,9 +180,13 @@ class SurrogateContainer:
         # batched evaluation of missing sites (``eval_missing!``)
         evaled = []
         eval_scal = ctxs[0].scal if ctxs else self.scal
-        for g, st in zip(self.mop.groups, mid):
+        for g, ops, st in zip(self.mop.groups, self.ops, mid):
             fn = lambda xs, g=g: g.eval_unscaled(scaling.untransform(eval_scal, xs))
-            db, n_new = dbm.eval_missing(st.db, fn)
+            # windowed tail evaluation pays off only for large databases
+            # (for tiny ones the single fused full-capacity vmap is faster)
+            win = ops.eval_window if (self.db_capacity >= 256 and
+                                      self.db_capacity >= 8 * ops.eval_window) else None
+            db, n_new = dbm.eval_missing(st.db, fn, window=win)
             evaled.append(st._replace(db=db, n_evals=st.n_evals + n_new))
         # phase 2
         out = []

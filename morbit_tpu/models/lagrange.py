@@ -70,6 +70,7 @@ class LagrangeOps(SurrogateOps):
                                   np.finfo(np.float16).eps * 10))
         self.lambda_max_loops = 2 * self.p
         self.pga_iters = cfg.ascent_iters
+        self.eval_window = self.p
 
     # ---- polynomial helpers (all GEMMs) -------------------------------------
     def _phi(self, u):

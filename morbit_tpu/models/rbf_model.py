@@ -74,6 +74,8 @@ class RbfOps(SurrogateOps):
         cfg = self.cfg
         self.max_points = cfg.resolved_max_points(n_vars)
         self.cap_train = n_vars + 1 + max(0, self.max_points - (n_vars + 1))
+        self.eval_window = n_vars + 1 + (
+            10 * self.max_points if cfg.use_max_points else 0)
         self.kernel = cfg.kernel
         self.poly_deg = cfg.polynomial_degree
         sp = cfg.shape_parameter

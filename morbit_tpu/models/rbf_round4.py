@@ -240,9 +240,6 @@ def run_round4(
             L=L, Linv=Linv, Phi=Phi,
             accepted=st.accepted.at[c].set(True))
 
-    # one acceptance per wave, plus one terminating empty wave
-    n_waves = max(1, max_points)
-
     def tau2_batch(st):
         def one(c):
             out = candidate_quantities(st, db_X[c])
@@ -251,28 +248,29 @@ def run_round4(
         tau2s, rank_oks = jax.vmap(one)(jnp.arange(scan_cap))
         return tau2s, rank_oks
 
-    def wave(w, carry):
+    # One acceptance per wave. For large point budgets a while_loop is
+    # essential: under vmap a cond lowers to a select executing both branches
+    # for the whole batch, so a fori(max_points) would always pay all waves,
+    # while a while_loop stops once every batch element is done (acceptances
+    # are usually far fewer than max_points — measured 2x on ZDT1 n=10).
+    # For tiny budgets the fixed fori fuses better.
+    def wave_body(carry):
         st, cursor, done = carry
+        tau2s, rank_oks = tau2_batch(st)
+        cand_ok = (cand_mask[:scan_cap] & rank_oks
+                   & (tau2s > chol_pivot ** 2)
+                   & (jnp.arange(scan_cap) >= cursor))
+        any_ok = jnp.any(cand_ok) & (st.N < max_points) & (~done)
+        first = jnp.argmax(cand_ok).astype(jnp.int32)
+        st2 = jax.lax.cond(any_ok, lambda s: accept(s, first), lambda s: s, st)
+        cursor2 = jnp.where(any_ok, first + 1, cursor)
+        return st2, cursor2, ~any_ok
 
-        def do_wave(args):
-            st, cursor = args
-            tau2s, rank_oks = tau2_batch(st)
-            cand_ok = (cand_mask[:scan_cap] & rank_oks
-                       & (tau2s > chol_pivot ** 2)
-                       & (jnp.arange(scan_cap) >= cursor))
-            any_ok = jnp.any(cand_ok) & (st.N < max_points)
-            first = jnp.argmax(cand_ok).astype(jnp.int32)
-            st2 = jax.lax.cond(any_ok, lambda s: accept(s, first),
-                               lambda s: s, st)
-            cursor2 = jnp.where(any_ok, first + 1, scan_cap)
-            return st2, cursor2, ~any_ok
-
-        def skip(args):
-            st, cursor = args
-            return st, cursor, jnp.asarray(True)
-
-        return jax.lax.cond(~done, do_wave, skip, (st, cursor))
-
-    st, _, _ = jax.lax.fori_loop(
-        0, n_waves, wave, (st0, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    carry0 = (st0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    if max_points <= 8:
+        st, _, _ = jax.lax.fori_loop(
+            0, max_points, lambda w, c: wave_body(c), carry0)
+    else:
+        st, _, _ = jax.lax.while_loop(
+            lambda c: ~c[2], wave_body, carry0)
     return st

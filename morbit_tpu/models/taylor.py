@@ -130,6 +130,7 @@ class TaylorOps(SurrogateOps):
             self.Hc = H
             self.n_sites = O.shape[0]
             self.h = cfg.fd_stepsize
+            self.eval_window = self.n_sites
         else:
             self.n_sites = 1
 
