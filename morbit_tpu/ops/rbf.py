@@ -126,12 +126,21 @@ def fit_rbf(
     if param is None:
         param = kernel_default_param(kernel)
 
-    r2 = _pairwise_sqdist(sites)
-    Phi = apply_kernel(kernel, r2, param)
-    # exponent kernels keep the static value; smooth kernels may be traced
-    param = jnp.asarray(param, dtype)
     mm = mask[:, None] & mask[None, :]
     eye = jnp.eye(max_pts, dtype=dtype)
+
+    if dtype == jnp.float32 and max_pts >= 16:
+        # fused Pallas Gram kernel on TPU (identity-padded already)
+        from morbit_tpu.ops.pallas_kernels import pallas_available, rbf_gram_matrix
+
+        if pallas_available():
+            Phi = rbf_gram_matrix(sites, mask, kernel, param)
+        else:
+            Phi = jnp.where(mm, apply_kernel(kernel, _pairwise_sqdist(sites), param), eye)
+    else:
+        Phi = jnp.where(mm, apply_kernel(kernel, _pairwise_sqdist(sites), param), eye)
+    # exponent kernels keep the static value; smooth kernels may be traced
+    param = jnp.asarray(param, dtype)
     n_valid = jnp.sum(mask).astype(dtype)
 
     # Conditioning (needed for float32 on TPU): when the tail contains the
