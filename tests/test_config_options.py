@@ -1,0 +1,75 @@
+"""Config-option coverage: strict filter, steplength radius updates,
+stepnorm tolerance, strict vs non-strict acceptance, PS with reference point."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from morbit_tpu.core.algorithm import optimize
+from morbit_tpu.core.descent import PascolettiSerafiniConfig
+from morbit_tpu.core.enums import STOP_CODE
+from morbit_tpu.core.mop import MOP
+from morbit_tpu.models.configs import ExactConfig, RbfConfig
+
+
+def _constrained_mop():
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_exact_objective(lambda x: jnp.sum((x - 1.0) ** 2))
+    mop.add_exact_objective(lambda x: jnp.sum((x + 1.0) ** 2))
+    mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) - 1.69,
+                               model_cfg=ExactConfig())
+    return mop
+
+
+def test_strict_filter():
+    """StrictFilter: componentwise filter entries (``FilterImplementation.jl:43-53``)."""
+    res = optimize(_constrained_mop(), jnp.array([-3.0, 2.5]), max_iter=25,
+                   filter_type="strict")
+    x = np.asarray(res.x)
+    assert float(np.sum(x ** 2)) <= 1.69 + 1e-6
+    assert res.state.filter.fvals.shape[1] == 2  # componentwise f entries
+
+
+def test_steplength_radius_update():
+    """radius_update_method=:steplength (``algorithm.jl:150-183``)."""
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    cfg = RbfConfig(kernel="multiquadric")
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=20,
+                   radius_update_method="steplength")
+    x = np.asarray(res.x)
+    assert abs(x[0] - x[1]) < 0.2
+
+
+def test_nonstrict_acceptance():
+    """strict_acceptance_test=False: max-scalarized rho (``algorithm.jl:807-810``)."""
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_exact_objective(lambda x: jnp.sum((x - 1.0) ** 2))
+    mop.add_exact_objective(lambda x: jnp.sum((x + 1.0) ** 2))
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=20,
+                   strict_acceptance_test=False)
+    x = np.asarray(res.x)
+    assert abs(x[0] - x[1]) < 0.15
+
+
+def test_stepnorm_tolerance_stop():
+    """stepnorm_tol_abs: rejected tiny steps stop with TOLERANCE
+    (``abs_stepnorm_test``, ``algorithm.jl:80-86,868-872``)."""
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_exact_objective(lambda x: jnp.sum((x - 1.0) ** 2))
+    mop.add_exact_objective(lambda x: jnp.sum((x + 1.0) ** 2))
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=50,
+                   stepnorm_tol_abs=0.5)  # absurdly large: triggers quickly
+    assert int(res.stop_code) in (STOP_CODE.TOLERANCE, STOP_CODE.CRITICAL)
+
+
+def test_ps_with_reference_point():
+    cfg = PascolettiSerafiniConfig(reference_point=(0.0, 0.0),
+                                   n_samples=64, polish_iters=20)
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    rcfg = RbfConfig(kernel="multiquadric")
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=rcfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=rcfg)
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=15,
+                   descent_method=cfg)
+    assert np.all(np.isfinite(np.asarray(res.x)))
