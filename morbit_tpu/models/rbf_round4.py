@@ -240,37 +240,56 @@ def run_round4(
             L=L, Linv=Linv, Phi=Phi,
             accepted=st.accepted.at[c].set(True))
 
-    def tau2_batch(st):
+    # One acceptance per wave, evaluated over a candidate *chunk* at the
+    # cursor: tau^2 is only valid against the current state, so after an
+    # acceptance the remaining candidates must be re-tested anyway — testing
+    # a chunk of K at a time does (accepts + C/K) waves of K tau^2 each
+    # instead of accepts waves of C each (~9x less tau^2 work at ZDT n=10),
+    # with identical accept-first-in-order semantics.
+    # tiny point budgets: full-width chunks + a fixed fori fuse best
+    chunk = scan_cap if max_points <= 8 else min(scan_cap, 32)
+
+    def tau2_chunk(st, cursor):
+        if chunk == scan_cap:
+            Xc = db_X[:scan_cap]
+            idx = jnp.arange(scan_cap)
+        else:
+            start = jnp.clip(cursor, 0, max(scan_cap - chunk, 0))
+            Xc = jax.lax.dynamic_slice_in_dim(db_X[:scan_cap], start, chunk,
+                                              axis=0)
+            idx = start + jnp.arange(chunk)
+
         def one(c):
-            out = candidate_quantities(st, db_X[c])
+            out = candidate_quantities(st, Xc[c])
             return out[0], out[1]
 
-        tau2s, rank_oks = jax.vmap(one)(jnp.arange(scan_cap))
-        return tau2s, rank_oks
+        tau2s, rank_oks = jax.vmap(one)(jnp.arange(chunk))
+        ok = (cand_mask[idx] & rank_oks & (tau2s > chol_pivot ** 2)
+              & (idx >= cursor))
+        return ok, idx
 
-    # One acceptance per wave. For large point budgets a while_loop is
-    # essential: under vmap a cond lowers to a select executing both branches
-    # for the whole batch, so a fori(max_points) would always pay all waves,
-    # while a while_loop stops once every batch element is done (acceptances
-    # are usually far fewer than max_points — measured 2x on ZDT1 n=10).
-    # For tiny budgets the fixed fori fuses better.
+    # A while_loop (not fori+cond) is essential: under vmap a cond lowers to
+    # a select executing both branches for the whole batch, while while_loop
+    # stops once every batch element is done.
     def wave_body(carry):
         st, cursor, done = carry
-        tau2s, rank_oks = tau2_batch(st)
-        cand_ok = (cand_mask[:scan_cap] & rank_oks
-                   & (tau2s > chol_pivot ** 2)
-                   & (jnp.arange(scan_cap) >= cursor))
-        any_ok = jnp.any(cand_ok) & (st.N < max_points) & (~done)
-        first = jnp.argmax(cand_ok).astype(jnp.int32)
+        ok, idx = tau2_chunk(st, cursor)
+        any_ok = jnp.any(ok) & (st.N < max_points) & (~done)
+        first = idx[jnp.argmax(ok)].astype(jnp.int32)
         st2 = jax.lax.cond(any_ok, lambda s: accept(s, first), lambda s: s, st)
-        cursor2 = jnp.where(any_ok, first + 1, cursor)
-        return st2, cursor2, ~any_ok
+        # advance past the accepted candidate, or past the whole chunk
+        chunk_end = jnp.minimum(
+            jnp.clip(cursor, 0, max(scan_cap - chunk, 0)) + chunk, scan_cap)
+        cursor2 = jnp.where(any_ok, first + 1, chunk_end)
+        exhausted = (cursor2 >= scan_cap) & (~any_ok)
+        full = st2.N >= max_points
+        return st2, cursor2, done | exhausted | full
 
     carry0 = (st0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     if max_points <= 8:
+        n_waves = max(1, max_points)
         st, _, _ = jax.lax.fori_loop(
-            0, max_points, lambda w, c: wave_body(c), carry0)
+            0, n_waves, lambda w, c: wave_body(c), carry0)
     else:
-        st, _, _ = jax.lax.while_loop(
-            lambda c: ~c[2], wave_body, carry0)
+        st, _, _ = jax.lax.while_loop(lambda c: ~c[2], wave_body, carry0)
     return st
