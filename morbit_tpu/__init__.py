@@ -33,11 +33,12 @@ __all__ = [
 ]
 
 
-def __getattr__(name):  # lazy exports while higher layers land
-    if name in ("MOP",):
-        from morbit_tpu.core.mop import MOP
-        return MOP
-    if name in ("optimize", "initialize_state", "OptimizeResult"):
+def __getattr__(name):  # lazy exports (importing jax machinery on demand)
+    if name in ("MOP", "compile_mop", "CompiledMOP"):
+        from morbit_tpu.core import mop
+        return getattr(mop, name)
+    if name in ("optimize", "initialize_state", "OptimizeResult", "Solver",
+                "SolverState"):
         from morbit_tpu.core import algorithm
         return getattr(algorithm, name)
     if name in ("ExactConfig", "RbfConfig", "TaylorConfig", "LagrangeConfig"):
@@ -46,4 +47,7 @@ def __getattr__(name):  # lazy exports while higher layers land
     if name in ("SteepestDescentConfig", "PascolettiSerafiniConfig"):
         from morbit_tpu.core import descent
         return getattr(descent, name)
+    if name in ("multistart_optimize", "default_mesh", "build_solver"):
+        from morbit_tpu.parallel import multistart
+        return getattr(multistart, name)
     raise AttributeError(f"module 'morbit_tpu' has no attribute {name!r}")
