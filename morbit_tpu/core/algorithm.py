@@ -1078,6 +1078,16 @@ def optimize(mop, x0, algo_config: Optional[AlgorithmConfig] = None,
         fn = jax.jit(full) if jit else full
         state = fn(jnp.asarray(x0, dtype), populated_db)
 
+    if algo_config.untransform_final_database:
+        # return databases in unscaled coordinates
+        # (``untransform!(super_db, scal)``, ``algorithm.jl:952-954``)
+        ones = jnp.ones_like(state.scal.scale)
+        zeros = jnp.zeros_like(state.scal.offset)
+        state = state._replace(groups=tuple(
+            st._replace(db=dbm.rescale(st.db, state.scal.scale,
+                                       state.scal.offset, ones, zeros))
+            for st in state.groups))
+
     result = OptimizeResult(
         x=state.x, fx=state.fx, stop_code=state.stop_code,
         n_iterations=state.iter_counter - 1,
