@@ -101,7 +101,7 @@ def solve_qp(
             y_new = y + rho_v * (alpha * zt + (1 - alpha) * zz - zz_new)
             return z_new, zz_new, y_new
 
-        z, zz, y = jax.lax.fori_loop(0, adapt_every, step, (z, zz, y))
+        z, zz, y = jax.lax.fori_loop(0, min(adapt_every, iters), step, (z, zz, y))
 
         # residuals for rho adaptation
         Az = A @ z
