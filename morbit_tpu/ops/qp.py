@@ -73,6 +73,16 @@ def solve_qp(
     n = q.shape[0]
     dtype = q.dtype
     m = A.shape[0]
+    # vmap batching anchor: when P/q are closed-over constants (the LP case),
+    # a mixed batched/unbatched ADMM loop lowers catastrophically on TPU
+    # (~700x slower, measured on v5e). Tying them to A makes every loop
+    # operand batched under vmap; a no-op otherwise.
+    anchor = jnp.asarray(0.0, dtype) * A[0, 0] if m else jnp.asarray(0.0, dtype)
+    P = P + anchor
+    q = q + anchor
+    # pin the problem data: in-graph-constructed constraint blocks otherwise
+    # lower to a pathologically slow splitting loop (measured ~600x on v5e)
+    P, q, A, l, u = jax.lax.optimization_barrier((P, q, A, l, u))
     f32 = jnp.finfo(dtype).bits <= 32
     if sigma is None:
         sigma = 1e-4 if f32 else 1e-6
@@ -89,6 +99,10 @@ def solve_qp(
         jitter = 1e-3 * (jnp.trace(M) / n + 1.0)
         L2 = jnp.linalg.cholesky(M + jitter * jnp.eye(n, dtype=dtype))
         L = jnp.where(bad, L2, L)
+        # pin the factorization outside the splitting loop: without the
+        # barrier XLA can sink the (loop-invariant) Cholesky into the loop
+        # body when A was constructed in-graph — measured ~600x slowdown
+        L = jax.lax.optimization_barrier(L)
 
         def step(_, s):
             z, zz, y = s
