@@ -762,88 +762,87 @@ class Solver:
         enter_crit = theta_k_zero & (omega <= ac.eps_crit) & (
             (~fully_lin) | (state.delta > mu * omega))
 
-        def crit_routine(args):
-            """``criticality_routine`` (``algorithm.jl:523-613``)."""
-            state, inter, omega, d = args
-            groups = inter.groups
-            delta0 = state.delta
+        # ``criticality_routine`` (``algorithm.jl:523-613``) as ONE unified
+        # while_loop: the make-fully-linear pre-step (``:536-551``) is the
+        # first pass, the shrink loop (``:553-596``) the rest. A cond would
+        # lower to a select under vmap and execute the expensive rebuilds for
+        # every batch element every iteration; the while_loop runs zero
+        # passes when no element entered the routine.
+        delta0 = state.delta
 
-            # ensure fully linear once if needed
-            def make_fl(args):
-                groups, omega, d = args
-                groups = self.container.update(
-                    groups, inter.x_s, inter.x_indices, delta0,
-                    ensure_fully_linear=True, scal=inter.scal,
-                    key=jax.random.fold_in(inter.key, 7001))
-                omega, d = self._get_criticality(
-                    groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
-                    inter.fx, delta0, inter.scal)
-                do_loops = jnp.where(
-                    self.container.fully_linear(groups),
-                    delta0 > mu * omega, False)
-                return groups, omega, d, do_loops
+        def crit_update(groups, tag):
+            groups = self.container.update(
+                groups, inter.x_s, inter.x_indices, delta0,
+                ensure_fully_linear=True, scal=inter.scal,
+                key=jax.random.fold_in(inter.key, tag))
+            omega, d = self._get_criticality(
+                groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
+                inter.fx, delta0, inter.scal)
+            return groups, omega, d
 
-            def already_fl(args):
-                groups, omega, d = args
-                return groups, omega, d, jnp.asarray(True)
+        def loop_cond(carry):
+            (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
+             done) = carry
+            # ``while all(Delta > mu*omega)`` (``:560``), or the pending
+            # pre-step pass
+            return (~done) & (first | (do_loops & (delta > mu * omega)))
 
-            groups, omega, d, do_loops = jax.lax.cond(
-                fully_lin, already_fl, make_fl, (groups, omega, d))
+        def loop_body(carry):
+            (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
+             done) = carry
+            # loop-phase budget/count checks happen before any work (``:563-573``)
+            stop_now = (~first) & (
+                (n_loops >= ac.max_critical_loops)
+                | self.container.budget_exhausted(groups))
 
-            def loop_cond(carry):
-                groups, delta, omega, d, n_loops, exit_c, done = carry
-                return (~done) & (delta > mu * omega)
+            def halt(c):
+                (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
+                 done) = c
+                return (groups, delta, omega, d, n_loops, jnp.asarray(True),
+                        first, do_loops, jnp.asarray(True))
 
-            def loop_body(carry):
-                groups, delta, omega, d, n_loops, exit_c, done = carry
-                stop_now = (n_loops >= ac.max_critical_loops) | \
-                    self.container.budget_exhausted(groups)
+            def work(c):
+                (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
+                 done) = c
+                # pre-step keeps Delta; loop passes shrink the local copy
+                # (the rebuild still sees the iterate's radius, ``:575-579``)
+                delta = jnp.where(first, delta, gamma_c * delta)
+                groups, omega, d = crit_update(groups, 7001 + n_loops)
+                fl_now = self.container.fully_linear(groups)
+                n_loops = n_loops + jnp.where(first, 0, 1)
 
-                def halt(c):
-                    groups, delta, omega, d, n_loops, exit_c, done = c
-                    return (groups, delta, omega, d, n_loops,
-                            jnp.asarray(True), jnp.asarray(True))
+                # pre-step outcome (``:545-551``): loop only if models became
+                # fully linear and still critical; else "one last descent
+                # step" (done without exit_critical)
+                do_loops_new = jnp.where(
+                    first, fl_now & (delta0 > mu * omega), do_loops)
+                done_pre = first & (~(fl_now & (delta0 > mu * omega)))
 
-                def work(c):
-                    groups, delta, omega, d, n_loops, exit_c, done = c
-                    delta = gamma_c * delta
-                    # NOTE: the reference shrinks Delta only in a local
-                    # variable — the rebuild still sees the iterate's radius
-                    # (``algorithm.jl:575-579``); mirrored for parity.
-                    groups = self.container.update(
-                        groups, inter.x_s, inter.x_indices, delta0,
-                        ensure_fully_linear=True, scal=inter.scal,
-                        key=jax.random.fold_in(inter.key, 7100 + n_loops))
-                    omega, d = self._get_criticality(
-                        groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
-                        inter.fx, delta0, inter.scal)
-                    tol_exit = (delta <= ac.delta_tol_abs) | \
-                        self._omega_tests(omega, delta) | \
-                        (~self.container.fully_linear(groups))
-                    return (groups, delta, omega, d, n_loops + 1,
-                            tol_exit, tol_exit)
+                # loop-phase tolerance/FL exits (``:585-595``)
+                tol_exit = (~first) & (
+                    (delta <= ac.delta_tol_abs)
+                    | self._omega_tests(omega, delta) | (~fl_now))
 
-                return jax.lax.cond(stop_now, halt, work, carry)
+                return (groups, delta, omega, d, n_loops,
+                        exit_c | tol_exit, jnp.asarray(False), do_loops_new,
+                        done | done_pre | tol_exit)
 
-            init = (groups, delta0, omega, d, jnp.asarray(0, jnp.int32),
-                    jnp.asarray(False), ~do_loops)
-            groups, delta, omega, d, _, exit_c, _ = jax.lax.while_loop(
-                loop_cond, loop_body, init)
+            return jax.lax.cond(stop_now, halt, work, carry)
 
-            # Delta update only applies when loops were entered (``:605``)
-            delta_new = jnp.where(
-                do_loops,
-                jnp.minimum(delta0, jnp.maximum(beta * omega, delta)),
-                state.delta)
-            exit_c = exit_c & do_loops
-            return groups, delta_new, omega, d, exit_c
+        first0 = enter_crit & (~fully_lin)
+        # entry with fully linear models implies Delta > mu*omega (``:738``)
+        do_loops0 = enter_crit & fully_lin
+        init = (inter.groups, delta0, omega, d, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), first0, do_loops0, ~enter_crit)
+        (groups, delta_loc, omega, d, _, exit_c, _, do_loops, _) = \
+            jax.lax.while_loop(loop_cond, loop_body, init)
 
-        def no_crit(args):
-            state, inter, omega, d = args
-            return inter.groups, state.delta, omega, d, jnp.asarray(False)
-
-        groups, delta, omega, d, exit_critical = jax.lax.cond(
-            enter_crit, crit_routine, no_crit, (state, inter, omega, d))
+        # Delta update only applies when loops were entered (``:605``)
+        delta = jnp.where(
+            enter_crit & do_loops,
+            jnp.minimum(delta0, jnp.maximum(beta * omega, delta_loc)),
+            state.delta)
+        exit_critical = enter_crit & exit_c & do_loops
 
         state = state._replace(groups=groups, delta=delta)
         inter = inter._replace(groups=groups, delta=delta)
