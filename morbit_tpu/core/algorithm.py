@@ -502,23 +502,17 @@ class Solver:
         fx = state.fx
         scal = state.scal
 
-        # ---- surrogate update (``algorithm.jl:682-688``)
+        # ---- surrogate update (``algorithm.jl:682-688``); update-vs-improve
+        # selected by a traced flag inside the shared two-phase pipeline so
+        # evaluation+fit run once under vmap
         it_key = jax.random.fold_in(state.key, state.iter_counter)
-
-        def do_update(groups):
-            return self.container.update(groups, x_s, state.x_indices,
-                                         state.delta, ensure_fully_linear=False,
-                                         scal=scal, key=it_key)
-
-        def do_improve(groups):
-            return self.container.improve(groups, x_s, state.x_indices,
-                                          state.delta, scal=scal, key=it_key)
+        improve_flag = state.last_it_stat == ITER_TYPE.MODELIMPROVING
 
         groups = jax.lax.cond(
             state.iter_counter > 1,
-            lambda g: jax.lax.cond(
-                state.last_it_stat == ITER_TYPE.MODELIMPROVING,
-                do_improve, do_update, g),
+            lambda g: self.container.update_or_improve(
+                g, x_s, state.x_indices, state.delta, improve_flag,
+                scal=scal, key=it_key),
             lambda g: g,
             state.groups,
         )
@@ -588,10 +582,11 @@ class Solver:
         def incompatible_branch(state):
             last_restoration = state.last_it_stat == ITER_TYPE.RESTORATION
             if self.mop.has_nl_constraints:
+                active = (~compatible) & (~last_restoration)
                 return jax.lax.cond(
                     last_restoration,
                     lambda s: self._finish_early(s, STOP_CODE.INFEASIBLE),
-                    lambda s: self._restoration(s, theta_k, n_step),
+                    lambda s: self._restoration(s, theta_k, n_step, active),
                     state)
             # linearly constrained only: use n itself for restoration (``:447-452``)
             n_ok = feasible & jnp.all(jnp.isfinite(n_step))
@@ -615,13 +610,17 @@ class Solver:
 
         return jax.lax.cond(compatible, compatible_branch, incompatible_branch, state)
 
-    def _restoration(self, state: SolverState, theta_k, r_guess) -> SolverState:
+    def _restoration(self, state: SolverState, theta_k, r_guess,
+                     active=True) -> SolverState:
         """Nonlinear restoration (``restoration``, ``algorithm.jl:325-404``).
 
         The NLopt COBYLA solve on the true constraints is replaced by
         multistart projected gradient descent on the constraint violation
         (smooth subgradients via autodiff; SURVEY.md §7 hard part 4). The
-        filter gets the current iterate as an entry first (``:470-471``)."""
+        filter gets the current iterate as an entry first (``:470-471``).
+        ``active`` marks batch elements actually restoring — under vmap the
+        enclosing cond lowers to a select, and the while-condition below lets
+        inactive elements skip the descent loop."""
         ac = self.ac
         dtype = self.dtype
         filt = flt.add_entry(state.filter, theta_k,
@@ -657,14 +656,21 @@ class Solver:
         grad = jax.grad(merit)
         width = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
 
-        def gd_body(i, xi):
+        n_iters = 60
+
+        def gd_cond(carry):
+            i, xi = carry
+            return (i < n_iters) & jnp.asarray(active)
+
+        def gd_body(carry):
+            i, xi = carry
             g = grad(xi)
             gn = jnp.max(jnp.abs(g))
             step = jnp.where(gn > 0, 0.1 * jnp.min(width) / gn, 0.0)
-            return project_into_box(xi - step * g, lb, ub)
+            return i + 1, project_into_box(xi - step * g, lb, ub)
 
-        n_iters = 60
-        x_r = jax.lax.fori_loop(0, n_iters, gd_body, xi0)
+        _, x_r = jax.lax.while_loop(gd_cond, gd_body,
+                                    (jnp.asarray(0, jnp.int32), xi0))
 
         # count the restoration evaluations on nl-constraint groups
         # (``dont_count!`` is only used when max_restoration_evals > 0)

@@ -164,6 +164,31 @@ class SurrogateContainer:
         ctxs = self._contexts(states, x_s, x_indices, delta, scal, key)
         return self._two_phase(states, ctxs, False, improve=True)
 
+    def update_or_improve(self, states, x_s, x_indices, delta, improve_flag,
+                          scal=None, key=None):
+        """Update or improve selected by a *traced* flag (``algorithm.jl:682-688``).
+
+        Under vmap a cond between the two would execute both full two-phase
+        pipelines (incl. eval_missing and the fits) for every batch element;
+        here only the cheap phase-1 runs twice and is selected per leaf,
+        then evaluation + fitting run once."""
+        ctxs = self._contexts(states, x_s, x_indices, delta, scal, key)
+        mid = []
+        for gi, (ops, st, ctx) in enumerate(zip(self.ops, states, ctxs)):
+            model_i, db_i = ops.prepare_improve(st.model, st.db, ctx)
+            if self.reuse_from[gi] is not None:
+                src = mid[self.reuse_from[gi]]
+                # the reuse source carries the selected phase-1 result
+                model_u, db_u = ops.prepare_with_reuse(
+                    st.model, st.db, ctx, src.model, src.db)
+            else:
+                model_u, db_u = ops.prepare(st.model, st.db, ctx, False)
+            model, db = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(improve_flag, a, b),
+                (model_i, db_i), (model_u, db_u))
+            mid.append(st._replace(model=model, db=db))
+        return self._finish_two_phase(mid, ctxs)
+
     def _two_phase(self, states, ctxs, ensure_fully_linear, improve):
         # phase 1
         mid = []
@@ -177,6 +202,9 @@ class SurrogateContainer:
             else:
                 model, db = ops.prepare(st.model, st.db, ctx, ensure_fully_linear)
             mid.append(st._replace(model=model, db=db))
+        return self._finish_two_phase(mid, ctxs)
+
+    def _finish_two_phase(self, mid, ctxs):
         # batched evaluation of missing sites (``eval_missing!``)
         evaled = []
         eval_scal = ctxs[0].scal if ctxs else self.scal
