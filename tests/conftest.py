@@ -21,6 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the suite is dominated by XLA compiles on
+# this 1-core host; cached executables cut reruns dramatically
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

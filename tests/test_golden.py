@@ -1,0 +1,47 @@
+"""Golden-trajectory regression lock (cross-round determinism).
+
+Locks the float64 trajectory of the BASELINE.json config-2 run (two-parabolas
+with multiquadric RBF surrogates) against a committed file. If an
+*intentional* algorithm change shifts the trajectory, regenerate with::
+
+    python - <<'EOF'
+    import jax
+    jax.config.update("jax_platforms", "cpu"); jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from morbit_tpu.core.mop import MOP
+    from morbit_tpu.core.algorithm import optimize
+    from morbit_tpu.models.configs import RbfConfig
+    from morbit_tpu.utils.parity import export_trajectory
+    mop = MOP([-4.,-4.],[4.,4.]); cfg = RbfConfig(kernel="multiquadric")
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    res = optimize(mop, jnp.array([-3.141592653589793, 2.71828]), max_iter=15)
+    export_trajectory(res, "tests/golden/two_parabolas_rbf_mq_f64.json")
+    EOF
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+
+from morbit_tpu.core.algorithm import optimize
+from morbit_tpu.core.mop import MOP
+from morbit_tpu.models.configs import RbfConfig
+from morbit_tpu.utils.parity import compare_trajectories, export_trajectory
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "two_parabolas_rbf_mq_f64.json")
+
+
+def test_trajectory_matches_golden():
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    cfg = RbfConfig(kernel="multiquadric")
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    res = optimize(mop, jnp.array([-3.141592653589793, 2.71828]), max_iter=15)
+    doc = export_trajectory(res)
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    rep = compare_trajectories(doc, golden, x_tol=1e-10)
+    assert rep["parity"], rep
