@@ -75,6 +75,69 @@ def rbf_gram_matrix(sites: jax.Array, mask: jax.Array, kernel: str, param,
     )(sites, mask_f, param_arr)
 
 
+def admm_iterations(Minv, A, rho, q, l, u, z0, zz0, y0,
+                    iters: int, sigma: float, alpha: float,
+                    interpret: bool = False):
+    """Run ``iters`` OSQP splitting steps entirely in VMEM.
+
+    The XLA while-loop lowering round-trips the (tiny) carry through HBM every
+    iteration; this kernel keeps the whole state on-chip — the second hot-op
+    Pallas kernel next to the Gram assembly. The KKT matrix is pre-inverted
+    outside (one batched solve), so the body is pure matvecs + clips
+    (VPU/MXU-friendly). ``vmap`` adds the batch grid dimension.
+
+    Shapes: Minv (n, n), A (m, n), rho/q/l/u/z/zz/y vectors passed as
+    (1, k) rows. Returns (z, zz, y).
+    """
+    n = Minv.shape[0]
+    m = A.shape[0]
+    dtype = Minv.dtype
+
+    def body(Minv_ref, A_ref, rho_ref, q_ref, l_ref, u_ref,
+             z_ref, zz_ref, y_ref, z_out, zz_out, y_out):
+        Mi = Minv_ref[:]
+        Am = A_ref[:]
+        rho_v = rho_ref[:]
+        qv = q_ref[:]
+        lv = l_ref[:]
+        uv = u_ref[:]
+
+        def step(_, carry):
+            z, zz, y = carry                     # (1, n), (1, m), (1, m)
+            rhs = sigma * z - qv + jnp.dot(
+                rho_v * zz - y, Am,
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)          # (1, n)
+            xt = jnp.dot(rhs, Mi.T, preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)  # (1, n)
+            zt = jnp.dot(xt, Am.T, preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)  # (1, m)
+            z_new = alpha * xt + (1.0 - alpha) * z
+            zz_arg = alpha * zt + (1.0 - alpha) * zz + y / rho_v
+            zz_new = jnp.clip(zz_arg, lv, uv)
+            y_new = y + rho_v * (alpha * zt + (1.0 - alpha) * zz - zz_new)
+            return z_new, zz_new, y_new
+
+        z, zz, y = jax.lax.fori_loop(
+            0, iters, step, (z_ref[:], zz_ref[:], y_ref[:]))
+        z_out[:] = z
+        zz_out[:] = zz
+        y_out[:] = y
+
+    out = pl.pallas_call(
+        body,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+            jax.ShapeDtypeStruct((1, m), dtype),
+        ),
+        interpret=interpret,
+    )(Minv, A, rho.reshape(1, m), q.reshape(1, n), l.reshape(1, m),
+      u.reshape(1, m), z0.reshape(1, n), zz0.reshape(1, m), y0.reshape(1, m))
+    z, zz, y = out
+    return z[0], zz[0], y[0]
+
+
 def _gram_kernel_static(kernel: str, param: float, sites_ref, mask_ref,
                         param_ref, out_ref):
     S = sites_ref[:]

@@ -90,6 +90,13 @@ def solve_qp(
         eps = 1e-6 if f32 else 1e-8
     rho_clip = (1e-3, 1e4) if f32 else (1e-6, 1e6)
 
+    # NOTE: an in-VMEM Pallas variant of the splitting loop exists
+    # (ops.pallas_kernels.admm_iterations) but is DISABLED here: under vmap
+    # the pallas grid executes sequentially per core, so batching the tiny
+    # per-instance loops through the grid serializes them (measured 727 ->
+    # 263 runs/s on the multistart bench). XLA's batched lowering wins.
+    use_pallas_loop = False
+
     def stage(carry, rho_scale_unused=None):
         z, zz, y, rho_v = carry
         M = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
@@ -103,19 +110,32 @@ def solve_qp(
         # barrier XLA can sink the (loop-invariant) Cholesky into the loop
         # body when A was constructed in-graph — measured ~600x slowdown
         L = jax.lax.optimization_barrier(L)
+        n_steps = min(adapt_every, iters)
 
-        def step(_, s):
-            z, zz, y = s
-            rhs = sigma * z - q + A.T @ (rho_v * zz - y)
-            xt = jax.scipy.linalg.cho_solve((L, True), rhs)
-            zt = A @ xt
-            z_new = alpha * xt + (1 - alpha) * z
-            zz_arg = alpha * zt + (1 - alpha) * zz + y / rho_v
-            zz_new = jnp.clip(zz_arg, l, u)
-            y_new = y + rho_v * (alpha * zt + (1 - alpha) * zz - zz_new)
-            return z_new, zz_new, y_new
+        if use_pallas_loop:
+            # run the whole splitting loop in VMEM (Pallas): the KKT is
+            # pre-inverted so the body is matvecs + clips
+            from morbit_tpu.ops.pallas_kernels import admm_iterations
 
-        z, zz, y = jax.lax.fori_loop(0, min(adapt_every, iters), step, (z, zz, y))
+            Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=dtype))
+            # infinities break in-kernel arithmetic only via clip bounds —
+            # safe; but replace them to keep Mosaic happy on some targets
+            z, zz, y = admm_iterations(
+                Minv, A, rho_v, q, l, u, z, zz, y,
+                iters=n_steps, sigma=float(sigma), alpha=float(alpha))
+        else:
+            def step(_, s):
+                z, zz, y = s
+                rhs = sigma * z - q + A.T @ (rho_v * zz - y)
+                xt = jax.scipy.linalg.cho_solve((L, True), rhs)
+                zt = A @ xt
+                z_new = alpha * xt + (1 - alpha) * z
+                zz_arg = alpha * zt + (1 - alpha) * zz + y / rho_v
+                zz_new = jnp.clip(zz_arg, l, u)
+                y_new = y + rho_v * (alpha * zt + (1 - alpha) * zz - zz_new)
+                return z_new, zz_new, y_new
+
+            z, zz, y = jax.lax.fori_loop(0, n_steps, step, (z, zz, y))
 
         # residuals for rho adaptation
         Az = A @ z
