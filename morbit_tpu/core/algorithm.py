@@ -656,7 +656,11 @@ class Solver:
         grad = jax.grad(merit)
         width = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
 
-        n_iters = 60
+        # ``max_restoration_evals`` caps the restoration solve when positive
+        # (``algorithm.jl:370-384``); the default budget is a fixed descent
+        # iteration count (the COBYLA-replacement's analogue of 500*n evals)
+        n_iters = (ac.max_restoration_evals if ac.max_restoration_evals > 0
+                   else 60)
 
         def gd_cond(carry):
             i, xi = carry
