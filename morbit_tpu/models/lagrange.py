@@ -71,6 +71,10 @@ class LagrangeOps(SurrogateOps):
         self.lambda_max_loops = 2 * self.p
         self.pga_iters = cfg.ascent_iters
         self.eval_window = self.p
+        if not cfg.optimized_sampling:
+            # the stamp is problem-independent: build it eagerly now,
+            # outside any trace
+            self._static_stamp()
 
     # ---- polynomial helpers (all GEMMs) -------------------------------------
     def _phi(self, u):
@@ -115,9 +119,86 @@ class LagrangeOps(SurrogateOps):
             fully_linear=jnp.asarray(False),
         )
 
+    # ---- static stamp mode (optimized_sampling = false) ----------------------
+    _stamp_cache: dict = {}
+
+    def _static_stamp(self):
+        """One fixed lambda-poised set in [0,1]^n, computed once and cached
+        (the reference's unoptimized-sampling 'stamp' with JLD2 save_path +
+        io_lock, ``LagrangeModel.jl:537-573``). The set is problem-independent,
+        so the poisedness algorithms run *eagerly* here and the result is a
+        trace-time constant."""
+        import numpy as np
+
+        key = (self.n_vars, self.cfg.degree, self.cfg.lambda_poise)
+        if key in LagrangeOps._stamp_cache:
+            return LagrangeOps._stamp_cache[key]
+
+        p, n = self.p, self.n_vars
+        B = jnp.eye(p, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        points = jnp.zeros((p, n), B.dtype)
+        # Algorithm 6.2 from the single candidate 0.5^n (``:537-546``)
+        cand = jnp.full((1, n), 0.5, B.dtype)
+        phis = jax.vmap(self._phi)(cand)
+        avail = jnp.ones((1,), bool)
+        for i in range(p):
+            vals = jnp.where(avail, jnp.abs(phis @ B[i]), -jnp.inf)
+            j = int(jnp.argmax(vals))
+            use_cand = bool(vals[j] > self.zero_tol)
+            if use_cand:
+                u_new = cand[j]
+                avail = avail.at[j].set(False)
+            else:
+                u_new, _ = self._maximize_abs(B[i])
+            points = points.at[i].set(u_new)
+            B = self._orthogonalize(B, u_new, i)
+        # Algorithm 6.3 swaps
+        for _ in range(self.lambda_max_loops):
+            swapped = False
+            for i in range(p):
+                x_i, v_i = self._maximize_abs(B[i], extra_starts=points[i][None, :])
+                if float(v_i) > self.cfg.lambda_poise:
+                    points = points.at[i].set(x_i)
+                    B = self._orthogonalize(B, x_i, i)
+                    swapped = True
+                    break
+            if not swapped:
+                break
+        stamp = (np.asarray(points, np.float64), np.asarray(B, np.float64))
+        LagrangeOps._stamp_cache[key] = stamp
+        return stamp
+
+    def _prepare_stamp(self, state, db, ctx: ModelContext):
+        """Unoptimized sampling: reuse the fixed [0,1]^n stamp every
+        iteration, unscaled into the current trust-region box."""
+        cfg = self.cfg
+        p = self.p
+        x = ctx.x_s
+        lb, ub = local_bounds(x, ctx.delta * cfg.theta_enlarge,
+                              ctx.scal.lb_scaled, ctx.scal.ub_scaled)
+        w = ub - lb
+        pts_np, B_np = self._static_stamp()
+        points = jnp.asarray(pts_np, self.dtype)
+        B = jnp.asarray(B_np, self.dtype)
+
+        idx = jnp.zeros((p,), jnp.int32)
+
+        def add_body(i, carry):
+            db, idx = carry
+            site = lb + w * points[i]
+            db, new_id = dbm.add_site(db, site, do_add=True)
+            return db, idx.at[i].set(new_id)
+
+        db, idx = jax.lax.fori_loop(0, p, add_body, (db, idx))
+        state = state._replace(B=B, idx=idx, lb=lb, ub=ub,
+                               fully_linear=jnp.asarray(True))
+        return state, db
+
     # ---- phase 1 ---------------------------------------------------------------
     def prepare(self, state, db, ctx: ModelContext, ensure_fully_linear: bool):
         cfg = self.cfg
+        if not cfg.optimized_sampling:
+            return self._prepare_stamp(state, db, ctx)
         p, n = self.p, self.n_vars
         dt = self.dtype
         x = ctx.x_s

@@ -111,3 +111,17 @@ def test_rbf_round4_e2e_uses_extra_points():
     assert int(st.n_train) >= 3
     x = np.asarray(res.x)
     assert abs(x[0] - x[1]) < 0.2
+
+
+def test_lagrange_static_stamp_mode():
+    """optimized_sampling=False: one fixed lambda-poised [0,1]^n stamp reused
+    every iteration (``LagrangeModel.jl:537-573``)."""
+    from morbit_tpu.models.configs import LagrangeConfig
+
+    res = optimize(_two_parabolas(LagrangeConfig(degree=2,
+                                                 optimized_sampling=False)),
+                   jnp.array([-3.0, 2.5]), max_iter=12)
+    x = np.asarray(res.x)
+    assert abs(x[0] - x[1]) < 0.2
+    st = res.state.groups[0].model
+    assert bool(st.fully_linear)
