@@ -252,6 +252,7 @@ class Solver:
         gradient refinement on the penalized scalarization (surrogates are
         cheap and differentiable on device). Returns (omega = |t*|,
         x_trial)."""
+        from morbit_tpu.core.descent import ps_subsolver_budgets
         from morbit_tpu.ops.boxopt import halton_grid, maximize_in_box
 
         cfg = self.desc_cfg
@@ -261,7 +262,12 @@ class Solver:
             jnp.maximum(scal.lb_scaled, x_s - delta),
             jnp.minimum(scal.ub_scaled, x_s + delta))
         A_eq_s, b_eq_s, A_ineq_s, b_ineq_s = self._lin_matrices(scal)
-        grid = halton_grid(cfg.n_samples, n)
+        # subsolver eval caps (``_ps_max_evals``, ``descent.jl:414-432,527``)
+        ps_grid_n, ps_polish, id_grid_n, id_polish = ps_subsolver_budgets(
+            cfg, n)
+        grid = halton_grid(ps_grid_n, n)
+        ideal_grid = (grid if id_grid_n == ps_grid_n
+                      else halton_grid(id_grid_n, n))
 
         def penalty(chi):
             pen = jnp.asarray(0.0, dtype)
@@ -290,8 +296,8 @@ class Solver:
             for l in range(self.mop.m_obj):
                 f_l = lambda chi, l=l: -(self.container.eval_objectives_raw(
                     groups, chi)[l] + PEN_W * penalty(chi))
-                _, v = maximize_in_box(f_l, lb_eff, ub_eff, grid,
-                                       iters=cfg.polish_iters)
+                _, v = maximize_in_box(f_l, lb_eff, ub_eff, ideal_grid,
+                                       iters=id_polish)
                 ideals.append(-v)
             r = fx_n - jnp.stack(ideals)
 
@@ -305,7 +311,7 @@ class Solver:
             return -(t_pure(chi) + PEN_W * penalty(chi))
 
         x_best, neg_best = maximize_in_box(
-            t_pen, lb_eff, ub_eff, grid, iters=cfg.polish_iters,
+            t_pen, lb_eff, ub_eff, grid, iters=ps_polish,
             extra_starts=x_n_s[None, :])
         tau = jnp.clip(t_pure(x_best), -1.0, 0.0)
         feasible = penalty(x_best) <= 1e-8
@@ -615,9 +621,11 @@ class Solver:
         """Nonlinear restoration (``restoration``, ``algorithm.jl:325-404``).
 
         The NLopt COBYLA solve on the true constraints is replaced by
-        multistart projected gradient descent on the constraint violation
-        (smooth subgradients via autodiff; SURVEY.md §7 hard part 4). The
-        filter gets the current iterate as an entry first (``:470-471``).
+        projected gradient descent with step halving on the squared-hinge
+        constraint violation (smooth subgradients via autodiff; SURVEY.md §7
+        hard part 4), honoring the reference's eval budget, its
+        ``stopval`` early exit at theta-zero, and its counting semantics.
+        The filter gets the current iterate as an entry first (``:470-471``).
         ``active`` marks batch elements actually restoring — under vmap the
         enclosing cond lowers to a select, and the while-condition below lets
         inactive elements skip the descent loop."""
@@ -656,40 +664,71 @@ class Solver:
         grad = jax.grad(merit)
         width = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
 
-        # ``max_restoration_evals`` caps the restoration solve when positive
-        # (``algorithm.jl:370-384``); the default budget is a fixed descent
-        # iteration count (the COBYLA-replacement's analogue of 500*n evals)
-        n_iters = (ac.max_restoration_evals if ac.max_restoration_evals > 0
-                   else 60)
+        # budget (``algorithm.jl:370-384``): when ``max_restoration_evals > 0``
+        # it caps the solve and evals are NOT counted (``dont_count!``);
+        # otherwise the cap is min(500*n_vars, remaining budget of every
+        # nl-constraint function) and the actual solver evals count.
+        if ac.max_restoration_evals > 0:
+            cap = jnp.asarray(ac.max_restoration_evals, jnp.int32)
+        else:
+            cap = jnp.asarray(500 * self.mop.n_vars, jnp.int32)
+            for g, st in zip(self.mop.groups, state.groups):
+                roles = {mb.role for mb in g.members}
+                if "nl_eq" in roles or "nl_ineq" in roles:
+                    gmax = min(ac.max_evals, g.max_evals, 2 ** 31 - 1)
+                    cap = jnp.minimum(
+                        cap, jnp.asarray(gmax, jnp.int32) - st.n_evals)
+            cap = jnp.maximum(cap, 0)
+
+        # ``stopval = _zero_for_constraints(theta_k)`` (``algorithm.jl:368``,
+        # ``utilities.jl:335-338``): exit as soon as a theta-zero point is
+        # found. The COBYLA solve is replaced by projected gradient descent
+        # on the squared-hinge merit with step halving on non-decrease (the
+        # ftol_rel=1e-3 convergence exit becomes step-scale collapse).
+        stopval = 10 * jnp.finfo(dtype).eps
 
         def gd_cond(carry):
-            i, xi = carry
-            return (i < n_iters) & jnp.asarray(active)
+            i, xi, m_cur, sc, x_best, t_best, done = carry
+            return (~done) & (i < cap) & jnp.asarray(active)
 
         def gd_body(carry):
-            i, xi = carry
+            i, xi, m_cur, sc, x_best, t_best, done = carry
             g = grad(xi)
             gn = jnp.max(jnp.abs(g))
-            step = jnp.where(gn > 0, 0.1 * jnp.min(width) / gn, 0.0)
-            return i + 1, project_into_box(xi - step * g, lb, ub)
+            step = jnp.where(gn > 0, sc * jnp.min(width) / gn, 0.0)
+            xi_n = project_into_box(xi - step * g, lb, ub)
+            m_n = merit(xi_n)
+            t_n = theta_of(xi_n)
+            improved = m_n < m_cur
+            xi = jnp.where(improved, xi_n, xi)
+            m_cur = jnp.where(improved, m_n, m_cur)
+            sc = jnp.where(improved, jnp.minimum(sc * 1.25, 0.5), sc * 0.5)
+            better = t_n < t_best
+            x_best = jnp.where(better, xi_n, x_best)
+            t_best = jnp.minimum(t_best, t_n)
+            done = (t_best <= stopval) | (sc < 1e-10)
+            return i + 1, xi, m_cur, sc, x_best, t_best, done
 
-        _, x_r = jax.lax.while_loop(gd_cond, gd_body,
-                                    (jnp.asarray(0, jnp.int32), xi0))
+        t0 = theta_of(xi0)
+        i_used, _, _, _, x_r, theta_r, _ = jax.lax.while_loop(
+            gd_cond, gd_body,
+            (jnp.asarray(0, jnp.int32), xi0, merit(xi0),
+             jnp.asarray(0.1, dtype), xi0, t0, t0 <= stopval))
 
-        # count the restoration evaluations on nl-constraint groups
-        # (``dont_count!`` is only used when max_restoration_evals > 0)
+        # count the actual restoration evaluations on nl-constraint groups
+        # (one candidate tested per descent iteration, like the reference's
+        # per-iterate COBYLA counting; suspended when max_restoration_evals>0)
         groups = state.groups
         if ac.max_restoration_evals <= 0:
             new_groups = []
             for g, st in zip(self.mop.groups, groups):
                 roles = {mb.role for mb in g.members}
                 if "nl_eq" in roles or "nl_ineq" in roles:
-                    st = st._replace(n_evals=st.n_evals + n_iters)
+                    st = st._replace(n_evals=st.n_evals + i_used)
                 new_groups.append(st)
             groups = tuple(new_groups)
             state = state._replace(groups=groups)
 
-        theta_r = theta_of(x_r)
         x_r_s = scaling.transform(state.scal, x_r)
         fx_r, c_e_r, c_i_r, groups, idx_r = self.container.evaluate_true(
             state.groups, x_r_s, state.scal)

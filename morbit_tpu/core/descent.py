@@ -59,6 +59,36 @@ class PascolettiSerafiniConfig:
     polish_iters: int = 50
 
 
+def ps_subsolver_budgets(cfg: PascolettiSerafiniConfig, n_vars: int):
+    """Resolve the PS subsolver sample/polish budgets.
+
+    Mirrors ``_ps_max_evals`` (``descent.jl:414-432``) and the ideal-point
+    budget (``descent.jl:527``): an explicit ``max_ps_problem_evals`` is
+    split 3/4 grid-sweep ("global stage") / 1/4 PGA refinement ("polish"),
+    unless ``max_ps_polish_evals`` overrides the polish share; the
+    ideal-point solves get their own ``max_ideal_point_problem_evals``.
+    Negative caps keep the repo defaults (``n_samples``/``polish_iters``).
+    Returns ``(ps_grid, ps_polish, ideal_grid, ideal_polish)``."""
+    if cfg.max_ps_problem_evals >= 0:
+        total = max(cfg.max_ps_problem_evals, 2)
+        if cfg.max_ps_polish_evals >= 0:
+            ps_grid, ps_polish = total, cfg.max_ps_polish_evals
+        else:
+            ps_grid = max(total * 3 // 4, 1)
+            ps_polish = total - ps_grid
+    else:
+        ps_grid = cfg.n_samples
+        ps_polish = (cfg.max_ps_polish_evals if cfg.max_ps_polish_evals >= 0
+                     else cfg.polish_iters)
+    if cfg.max_ideal_point_problem_evals >= 0:
+        total = max(cfg.max_ideal_point_problem_evals, 2)
+        ideal_grid = max(total * 3 // 4, 1)
+        ideal_polish = total - ideal_grid
+    else:
+        ideal_grid, ideal_polish = cfg.n_samples, cfg.polish_iters
+    return ps_grid, ps_polish, ideal_grid, ideal_polish
+
+
 def resolve_descent_config(spec):
     if isinstance(spec, (SteepestDescentConfig, PascolettiSerafiniConfig)):
         return spec

@@ -240,7 +240,11 @@ def outer_fn_from_expr(expr: str) -> Callable:
         mop.add_composite_objective("x[0] + jnp.sum(g**2)", gidx)
 
     The expression is evaluated with ``jnp`` (and ``jnp`` aliased as ``np``)
-    in scope; indexing is 0-based (Python)."""
+    in scope; indexing is 0-based (Python).
+
+    .. warning:: Like the reference's ``GeneralizedGenerated``-based
+       ``make_outer_fun``, the string is *executed as code* (a bare
+       ``eval`` with no sandboxing) — only pass trusted expressions."""
     code = compile(expr, "<outer_fn>", "eval")
 
     def outer(x, g):

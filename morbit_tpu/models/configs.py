@@ -50,6 +50,8 @@ class RbfConfig:
     theta_enlarge_2: float = 2.0
     theta_pivot: float = 0.25  # default 1/(2*theta_enlarge_1)
     theta_pivot_cholesky: float = 1e-7
+    # declared-but-unread in the reference too (``RbfModel.jl:89`` is its only
+    # occurrence there); kept for config-surface parity, intentionally a no-op
     require_linear: bool = True
     max_model_points: int = -1   # -1 -> (n+1)(n+2)/2
     use_max_points: bool = False
@@ -118,12 +120,14 @@ class LagrangeConfig:
 
     degree: int = 2
     theta_enlarge: float = 2.0
-    epsilon_accept: float = 1e-6
     lambda_poise: float = 1.5
     allow_not_linear: bool = False
     optimized_sampling: bool = True
     max_evals: int = 2 ** 31 - 1
-    # multistart ascent controls (NLopt replacement)
+    # multistart ascent controls (the ``algo1/2_max_evals`` analogue of the
+    # NLopt replacement, ``LagrangeModel.jl:81-91``): the top
+    # ``ascent_restarts`` grid candidates are refined with ``ascent_iters``
+    # projected-gradient steps each
     ascent_restarts: int = 8
     ascent_iters: int = 40
 

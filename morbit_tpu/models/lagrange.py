@@ -99,12 +99,15 @@ class LagrangeOps(SurrogateOps):
         return B
 
     def _maximize_abs(self, b_row, extra_starts=None):
-        """max |l(u)| over [0,1]^n via grid + PGA (BOBYQA replacement)."""
+        """max |l(u)| over [0,1]^n via grid + multistart PGA (BOBYQA
+        replacement); ``ascent_restarts`` top grid candidates are refined
+        concurrently."""
         f = lambda u: jnp.abs(b_row @ self._phi(u))
         lb = jnp.zeros((self.n_vars,), self.dtype)
         ub = jnp.ones((self.n_vars,), self.dtype)
         return maximize_in_box(f, lb, ub, self.grid.astype(np.float64),
-                               iters=self.pga_iters, extra_starts=extra_starts)
+                               iters=self.pga_iters, extra_starts=extra_starts,
+                               n_starts=self.cfg.ascent_restarts)
 
     # ---- state ----------------------------------------------------------------
     def init_state(self):

@@ -26,7 +26,10 @@ is used once, so row ``new`` evolves as ``g <- c*g - s*e_j``).
 
 Like the reference's code path, ``Z``/``L`` start *empty* after rounds 1-3
 and grow one column per accepted point. The ``use_max_points`` random-point
-fallback (``:408-417``) is deferred (needs PRNG state plumbing).
+fallback (``:408-417``) is implemented in
+``rbf_model.py`` (random in-box candidates appended after the database
+rows, ``rbf_model.py:317-359``) using the per-iteration PRNG key threaded
+through ``ModelContext``.
 """
 
 from __future__ import annotations

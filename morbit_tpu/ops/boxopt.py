@@ -31,11 +31,13 @@ def halton_grid(n_points: int, n_vars: int) -> np.ndarray:
 
 
 def maximize_in_box(f, lb, ub, grid_unit: np.ndarray, iters: int = 30,
-                    step0: float = 0.1, extra_starts=None):
+                    step0: float = 0.1, extra_starts=None, n_starts: int = 1):
     """Maximize ``f`` over [lb, ub]: batched grid sweep + PGA refinement.
 
     ``grid_unit``: (K, n) unit-cube points (static constants). Optional
     ``extra_starts``: (S, n) traced points also swept (e.g. current iterate).
+    ``n_starts > 1`` refines the top-k sweep candidates concurrently
+    (vmapped multistart) and returns the overall best.
     Returns (x_best, f_best)."""
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)
@@ -43,29 +45,36 @@ def maximize_in_box(f, lb, ub, grid_unit: np.ndarray, iters: int = 30,
     if extra_starts is not None:
         pts = jnp.concatenate([extra_starts, pts], axis=0)
     vals = jax.vmap(f)(pts)
-    best = jnp.argmax(vals)
-    x0 = pts[best]
-    f0 = vals[best]
 
     g = jax.grad(f)
     width = jnp.max(ub - lb)
+    k = min(max(int(n_starts), 1), pts.shape[0])
+    if k == 1:
+        best = jnp.argmax(vals)
+        X0, F0 = pts[best][None, :], vals[best][None]
+    else:
+        F0, top = jax.lax.top_k(vals, k)
+        X0 = pts[top]
 
     def body(i, carry):
-        x, fx, eta = carry
-        x_try = project_into_box(x + eta * g(x), lb, ub)
-        f_try = f(x_try)
-        better = f_try > fx
-        x = jnp.where(better, x_try, x)
-        fx = jnp.where(better, f_try, fx)
+        X, FX, eta = carry
+        X_try = jax.vmap(
+            lambda x, e: project_into_box(x + e * g(x), lb, ub))(X, eta)
+        F_try = jax.vmap(f)(X_try)
+        better = F_try > FX
+        X = jnp.where(better[:, None], X_try, X)
+        FX = jnp.where(better, F_try, FX)
         eta = jnp.where(better, eta * 1.5, eta * 0.5)
-        return x, fx, eta
+        return X, FX, eta
 
-    x, fx, _ = jax.lax.fori_loop(0, iters, body, (x0, f0, step0 * width))
-    return x, fx
+    eta0 = jnp.full((k,), step0, lb.dtype) * width
+    X, FX, _ = jax.lax.fori_loop(0, iters, body, (X0, F0, eta0))
+    best = jnp.argmax(FX)
+    return X[best], FX[best]
 
 
 def minimize_in_box(f, lb, ub, grid_unit, iters: int = 30, step0: float = 0.1,
-                    extra_starts=None):
+                    extra_starts=None, n_starts: int = 1):
     x, fneg = maximize_in_box(lambda x: -f(x), lb, ub, grid_unit, iters, step0,
-                              extra_starts)
+                              extra_starts, n_starts)
     return x, -fneg

@@ -4,6 +4,10 @@ The reference benchmark grid (``examples/large_scale_benchmarks.jl:69-118``)
 uses ZDT1-3, DTLZ1, DTLZ6 from ``MultiObjectiveProblems.jl`` with
 Halton-sequence starting points; we provide the standard definitions as pure
 JAX functions plus MOP builders.
+
+ZDT5 is intentionally excluded: it is binary-coded (30+5(m-1) bit strings,
+Deb et al. 2000 §5.5), so it has no continuous box domain for a trust-region
+solver — the reference's benchmark grid omits it for the same reason.
 """
 
 from __future__ import annotations

@@ -73,3 +73,41 @@ def test_ps_with_reference_point():
     res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=15,
                    descent_method=cfg)
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_ps_subsolver_budgets_resolution():
+    """``_ps_max_evals`` mapping (``descent.jl:414-432,527``)."""
+    from morbit_tpu.core.descent import ps_subsolver_budgets
+
+    # defaults: repo sample/polish budgets pass through
+    cfg = PascolettiSerafiniConfig(n_samples=64, polish_iters=20)
+    assert ps_subsolver_budgets(cfg, 2) == (64, 20, 64, 20)
+    # explicit total: 3/4 global sweep, 1/4 polish
+    cfg = PascolettiSerafiniConfig(max_ps_problem_evals=100)
+    g, p, _, _ = ps_subsolver_budgets(cfg, 2)
+    assert (g, p) == (75, 25)
+    # polish override keeps the full total for the sweep
+    cfg = PascolettiSerafiniConfig(max_ps_problem_evals=100,
+                                   max_ps_polish_evals=10)
+    g, p, _, _ = ps_subsolver_budgets(cfg, 2)
+    assert (g, p) == (100, 10)
+    # ideal-point cap is independent
+    cfg = PascolettiSerafiniConfig(max_ideal_point_problem_evals=40,
+                                   n_samples=64, polish_iters=20)
+    g, p, ig, ip = ps_subsolver_budgets(cfg, 2)
+    assert (g, p) == (64, 20) and (ig, ip) == (30, 10)
+
+
+def test_ps_with_eval_caps_end_to_end():
+    """PS descent honors the subsolver eval caps and still solves."""
+    cfg = PascolettiSerafiniConfig(max_ps_problem_evals=80,
+                                   max_ideal_point_problem_evals=60)
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    rcfg = RbfConfig(kernel="multiquadric")
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=rcfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=rcfg)
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=15,
+                   descent_method=cfg)
+    x = np.asarray(res.x)
+    assert np.all(np.isfinite(x))
+    assert abs(x[0] - x[1]) < 0.5  # near the Pareto set x1 == x2

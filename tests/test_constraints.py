@@ -84,3 +84,65 @@ def test_nl_ineq_rbf_model_infeasible_start():
     assert float(np.sum(x ** 2)) <= 1.0 + 1e-3
     assert int(res.stop_code) in (STOP_CODE.CRITICAL, STOP_CODE.TOLERANCE,
                                   STOP_CODE.MAX_ITER)
+
+
+def _restoration_setup(max_evals=2 ** 31 - 1):
+    """Solver + infeasible initial state for direct ``_restoration`` calls."""
+    from morbit_tpu.core.algorithm import Solver
+    from morbit_tpu.core.config import AlgorithmConfig
+    from morbit_tpu.core.mop import compile_mop
+
+    mop = _base()
+    mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) - 1.0,
+                               model_cfg=ExactConfig())
+    solver = Solver(compile_mop(mop), AlgorithmConfig(max_evals=max_evals),
+                    jnp.float64)
+    st = solver.initialize(jnp.array([3.0, 3.0]))
+    return solver, st
+
+
+def test_restoration_stopval_early_exit():
+    """``stopval = _zero_for_constraints(theta)`` (``algorithm.jl:368``):
+    once a theta-zero point is found the descent stops — far below the
+    500*n_vars budget — and only the performed iterations are counted."""
+    solver, st = _restoration_setup()
+    theta_k = solver._theta(st)
+    assert float(theta_k) > 0
+    evals_before = int(st.groups[2].n_evals)
+    out = solver._restoration(st, theta_k, jnp.full((2,), jnp.nan))
+    theta_out = float(solver._theta(out))
+    assert theta_out <= 10 * np.finfo(np.float64).eps
+    used = int(out.groups[2].n_evals) - evals_before
+    # +1 for the final evaluate_true at x_r
+    assert 1 <= used < 100  # early exit, nowhere near 500 * n_vars = 1000
+    assert int(out.last_it_stat) == ITER_TYPE.RESTORATION
+
+
+def test_restoration_respects_remaining_budget():
+    """Default budget is min(500*n_vars, remaining per-constraint-function
+    budget) (``algorithm.jl:375-384``): n_evals stays within max_evals."""
+    solver, st = _restoration_setup(max_evals=10)
+    evals_before = int(st.groups[2].n_evals)
+    theta_k = solver._theta(st)
+    out = solver._restoration(st, theta_k, jnp.full((2,), jnp.nan))
+    # cap = max_evals - n_evals descent iterations, +1 final true evaluation
+    assert int(out.groups[2].n_evals) <= 10 + 1
+
+
+def test_restoration_max_restoration_evals_suspends_counting():
+    """``max_restoration_evals > 0`` caps the solve and suspends counting
+    (``dont_count!``, ``algorithm.jl:375-385``)."""
+    from morbit_tpu.core.algorithm import Solver
+    from morbit_tpu.core.config import AlgorithmConfig
+    from morbit_tpu.core.mop import compile_mop
+
+    mop = _base()
+    mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) - 1.0,
+                               model_cfg=ExactConfig())
+    solver = Solver(compile_mop(mop),
+                    AlgorithmConfig(max_restoration_evals=7), jnp.float64)
+    st = solver.initialize(jnp.array([3.0, 3.0]))
+    evals_before = int(st.groups[2].n_evals)
+    out = solver._restoration(st, solver._theta(st), jnp.full((2,), jnp.nan))
+    # only the final evaluate_true at x_r is counted
+    assert int(out.groups[2].n_evals) == evals_before + 1
