@@ -56,6 +56,8 @@ class TrajectoryState(NamedTuple):
     omega: jax.Array       # (T,)
     steplength: jax.Array  # (T,)
     it_stat: jax.Array     # (T,) int32
+    x_indices: jax.Array   # (T, G) int32 — per-group db row of the iterate
+                           # (``x_indices`` map, ``IterDataIterSaveable.jl:189-205``)
     count: jax.Array       # int32
 
 
@@ -185,7 +187,7 @@ class Solver:
         return jnp.abs(theta) <= 10 * eps
 
     def _stamp(self, traj: TrajectoryState, x, fx, delta, rho, omega, steplength,
-               it_stat) -> TrajectoryState:
+               it_stat, x_indices) -> TrajectoryState:
         slot = jnp.clip(traj.count, 0, self.T - 1)
         ok = traj.count < self.T
         upd = lambda buf, v: jnp.where(ok, buf.at[slot].set(v), buf)
@@ -194,6 +196,7 @@ class Solver:
             rho=upd(traj.rho, rho), omega=upd(traj.omega, omega),
             steplength=upd(traj.steplength, steplength),
             it_stat=upd(traj.it_stat, jnp.asarray(it_stat, jnp.int32)),
+            x_indices=upd(traj.x_indices, jnp.asarray(x_indices, jnp.int32)),
             count=traj.count + 1,
         )
 
@@ -366,10 +369,11 @@ class Solver:
             omega=jnp.zeros((T,), dtype),
             steplength=jnp.zeros((T,), dtype),
             it_stat=jnp.zeros((T,), jnp.int32),
+            x_indices=jnp.zeros((T, len(mop.groups)), jnp.int32),
             count=jnp.asarray(0, jnp.int32),
         )
         traj = self._stamp(traj, x, fx, delta0, -jnp.inf, -jnp.inf, -jnp.inf,
-                           ITER_TYPE.INITIALIZATION)
+                           ITER_TYPE.INITIALIZATION, x_indices)
 
         # initial surrogates (``init_surrogates``; RBF defaults to
         # ensure_fully_linear=true on init, ``RbfModel.jl:506-513``)
@@ -503,6 +507,17 @@ class Solver:
         if ac.var_scaler_update == "model":
             state = jax.lax.cond(state.iter_counter > 1, self._rescale_model,
                                  lambda s: s, state)
+
+        # ---- use_db = false: drop all history except the current iterate
+        # (MockDB analogue, ``Databases.jl:11-32``; see AlgorithmConfig.use_db)
+        if not ac.use_db:
+            groups0 = tuple(
+                st._replace(db=dbm.compact_to_row(st.db, state.x_indices[i]))
+                for i, st in enumerate(state.groups))
+            state = state._replace(
+                groups=groups0,
+                x_indices=jnp.where(state.x_indices >= 0, 0, -1).astype(
+                    jnp.int32))
 
         x_s = state.x_s
         fx = state.fx
@@ -752,7 +767,8 @@ class Solver:
         """Stamp + return CONTINUE with it_stat=RESTORATION
         (``algorithm.jl:702-709``)."""
         traj = self._stamp(state.traj, state.x, state.fx, state.delta,
-                           -jnp.inf, -jnp.inf, -jnp.inf, ITER_TYPE.RESTORATION)
+                           -jnp.inf, -jnp.inf, -jnp.inf, ITER_TYPE.RESTORATION,
+                           state.x_indices)
         return state._replace(
             traj=traj,
             last_it_stat=jnp.asarray(ITER_TYPE.RESTORATION, jnp.int32),
@@ -919,10 +935,48 @@ class Solver:
 
         # ---- trial point from the descent payload
         if isinstance(self.desc_cfg, SteepestDescentConfig):
-            # initial stepsize + backtracking (``compute_descent_step``)
+            # initial stepsize + backtracking (``compute_descent_step``);
+            # with constraints and delta_max > 1 the sigma search also
+            # intersects the linearized constraint rows along x_n + sigma*d
+            # (``descent.jl:276-292``)
+            con_vals = con_dirs = con_rhs = None
+            if self.has_constraints and ac.delta_max > 1.0:
+                scal0 = state.scal
+                A_eq_s, b_eq_s, A_ineq_s, b_ineq_s = self._lin_matrices(scal0)
+                n_step = x_n_s - x_s
+                vals, dirs, rhs = [], [], []
+                if A_ineq_s.shape[0]:
+                    vals.append(A_ineq_s @ x_n_s)
+                    dirs.append(A_ineq_s @ d)
+                    rhs.append(b_ineq_s)
+                if A_eq_s.shape[0]:
+                    ve, de_, re = A_eq_s @ x_n_s, A_eq_s @ d, b_eq_s
+                    vals += [ve, -ve]
+                    dirs += [de_, -de_]
+                    rhs += [re, -re]
+                if self.mop.m_ci > 0:
+                    Dm_i = self.container.jac_nl_ineq(groups, x_s, state.scal)
+                    m_i = self.container.eval_nl_ineq_raw(groups, x_s,
+                                                          state.scal)
+                    vals.append(m_i + Dm_i @ n_step)
+                    dirs.append(Dm_i @ d)
+                    rhs.append(jnp.zeros_like(m_i))
+                if self.mop.m_ce > 0:
+                    Dm_e = self.container.jac_nl_eq(groups, x_s, state.scal)
+                    m_e = self.container.eval_nl_eq_raw(groups, x_s,
+                                                        state.scal)
+                    ve = m_e + Dm_e @ n_step
+                    de_ = Dm_e @ d
+                    vals += [ve, -ve]
+                    dirs += [de_, -de_]
+                    rhs += [jnp.zeros_like(m_e), jnp.zeros_like(m_e)]
+                if vals:
+                    con_vals = jnp.concatenate(vals)
+                    con_dirs = jnp.concatenate(dirs)
+                    con_rhs = jnp.concatenate(rhs)
             sigma = initial_stepsize(x_s, x_n_s, d, state.delta,
                                      state.scal.lb_scaled, state.scal.ub_scaled,
-                                     dtype)
+                                     dtype, con_vals, con_dirs, con_rhs)
             scal = state.scal
 
             def eval_mx(groups, xq):
@@ -1052,7 +1106,8 @@ class Solver:
 
         # ---- stamp (``:899-903``)
         traj = self._stamp(next_state.traj, next_state.x, next_state.fx,
-                           delta_new, rho, omega, steplength, 0)
+                           delta_new, rho, omega, steplength, 0,
+                           next_state.x_indices)
         traj = traj._replace(it_stat=traj.it_stat.at[
             jnp.clip(traj.count - 1, 0, self.T - 1)].set(it_stat))
         next_state = next_state._replace(traj=traj)

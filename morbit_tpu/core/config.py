@@ -91,6 +91,14 @@ class AlgorithmConfig:
     untransform_final_database: bool = False
     var_scaler_update: str = "none"
 
+    # --- database storage (":22", ``use_db``; MockDB ``Databases.jl:11-32``)
+    # False: keep no evaluation history across iterations — each iteration
+    # starts from a database holding only the current iterate, and the
+    # capacity shrinks to the per-iteration working set (O(model points)
+    # HBM instead of O(run length)). Model quality can differ from the
+    # stored-history default exactly like MockDB differs from ArrayDB.
+    use_db: bool = True
+
     # --- TPU-native knobs (no reference analogue) ---------------------------
     # capacity of each per-group evaluation database (ArrayDB analogue);
     # <=0 means "auto" from max_evals / max_iter.
@@ -104,6 +112,10 @@ class AlgorithmConfig:
     def resolved_db_capacity(self, n_vars: int, max_model_points: int) -> int:
         if self.db_capacity > 0:
             return self.db_capacity
+        if not self.use_db:
+            # per-iteration working set only: the iterate + trial + model
+            # sites for the initial build and every criticality rebuild
+            return (3 + self.max_critical_loops) * max_model_points + 8
         # enough room for: initial point + per-iteration trial point +
         # per-iteration model construction sites (round 3 adds <= n sites,
         # criticality loops can rebuild several times per iteration).

@@ -136,6 +136,26 @@ def get_rows(db: Database, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.where(ok, db.X[safe], 0.0), jnp.where(ok, db.Y[safe], 0.0)
 
 
+def compact_to_row(db: Database, idx) -> Database:
+    """Drop all history except row ``idx`` (moved to row 0).
+
+    The ``use_db = false`` / ``MockDB`` analogue (``Databases.jl:11-32``,
+    ``AbstractConfigInterface.jl:22``): with storage disabled the reference
+    remembers nothing between iterations; here the per-iteration working
+    set still needs a buffer, so we keep a *tiny* database and reset it to
+    the current iterate's row at the start of every iteration. ``idx < 0``
+    empties the database."""
+    keep = jnp.asarray(idx) >= 0
+    safe = jnp.clip(idx, 0, db.X.shape[0] - 1)
+    return Database(
+        X=db.X.at[0].set(db.X[safe]),
+        Y=db.Y.at[0].set(db.Y[safe]),
+        evaluated=jnp.zeros_like(db.evaluated).at[0].set(
+            keep & db.evaluated[safe]),
+        count=jnp.where(keep, 1, 0).astype(jnp.int32),
+    )
+
+
 def rescale(db: Database, old_scale, old_offset, new_scale, new_offset) -> Database:
     """Re-transform stored sites when the variable scaler changes
     (``transform!/untransform!``, ``Databases.jl`` + ``algorithm.jl:661-679``)."""

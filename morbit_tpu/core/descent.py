@@ -234,12 +234,18 @@ def backtrack(x_n, d, sigma0, omega, eval_mx, states, cfg: SteepestDescentConfig
     return x_t, mx_t, step, states
 
 
-def initial_stepsize(x, x_n, d, delta, lb, ub, dtype):
+def initial_stepsize(x, x_n, d, delta, lb, ub, dtype,
+                     con_vals=None, con_dirs=None, con_rhs=None):
     """Initial backtracking stepsize sigma (``descent.jl:253-310``).
 
-    Box-only variant of the reference logic (the doubled linearized system
-    for Delta > 1 with ||d|| ~ 1 reduces to the box intersection here; the
-    linearized-constraint rows are added by the caller when present)."""
+    For ``Delta > 1`` with ``||d|| ~ 1`` the reference intersects the
+    doubled linearized system (``descent.jl:276-292``): the local box plus
+    every (true linear and surrogate-linearized) constraint row along the
+    ray ``x_n + sigma*d``. Callers pass those rows in crossing form
+    ``con_vals + sigma * con_dirs <= con_rhs`` (equality rows appear twice
+    with flipped sign); ``None`` for box-only problems."""
+    from morbit_tpu.ops.geometry import _crossing_sigmas
+
     lb_eff, ub_eff = local_bounds(x, delta, lb, ub)
     took_normal = ~jnp.all(jnp.isclose(x, x_n))
     delta_eff = jnp.where(
@@ -250,12 +256,17 @@ def initial_stepsize(x, x_n, d, delta, lb, ub, dtype):
     norm_d = jnp.max(jnp.abs(d))
     norm_d_safe = jnp.where(norm_d > 0, norm_d, 1.0)
     sigma_small = jnp.minimum(delta_eff / norm_d_safe, 1.0)
-    # Delta > 1 branch: step until the local box is hit when ||d||_inf ~ 1
+    # Delta > 1 branch: step until the local box — or a linearized
+    # constraint — is hit, when ||d||_inf ~ 1
+    sigma_box = intersect_bounds(x_n, d, lb_eff, ub_eff, ret_mode="pos")
+    if con_vals is not None and con_vals.shape[0] > 0:
+        s = _crossing_sigmas(con_vals, con_rhs, con_dirs, sense_lb=False)
+        nonneg = s >= 0
+        sigma_con = jnp.where(jnp.any(nonneg),
+                              jnp.min(jnp.where(nonneg, s, jnp.inf)), 0.0)
+        sigma_box = jnp.minimum(sigma_box, sigma_con)
     sigma_big = jnp.where(
-        jnp.isclose(norm_d, 1.0),
-        intersect_bounds(x_n, d, lb_eff, ub_eff, ret_mode="pos"),
-        jnp.asarray(1.0, dtype),
-    )
+        jnp.isclose(norm_d, 1.0), sigma_box, jnp.asarray(1.0, dtype))
     return jnp.where(delta_eff <= 1.0, sigma_small, sigma_big)
 
 

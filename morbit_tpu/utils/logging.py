@@ -58,4 +58,7 @@ def trajectory_arrays(result):
         "omega": np.asarray(traj.omega[:c]),
         "steplength": np.asarray(traj.steplength[:c]),
         "it_stat": np.asarray(traj.it_stat[:c]),
+        # per-group database row of each stamped iterate — the reference's
+        # model-provenance hook (``x_indices``, ``IterDataIterSaveable.jl:189-205``)
+        "x_indices": np.asarray(traj.x_indices[:c]),
     }

@@ -67,3 +67,22 @@ def test_report_and_trajectory_utils(capsys):
     tr = trajectory_arrays(res)
     assert tr["x"].shape[0] == int(res.state.traj.count)
     assert np.isneginf(tr["omega"][0])
+
+
+def test_trajectory_x_indices_provenance():
+    """The stamped per-group ``x_indices`` map (``IterDataIterSaveable.jl:189-205``):
+    each trajectory entry's index points at the database row holding that
+    iterate's (scaled site, values)."""
+    from morbit_tpu.core import scaling
+
+    mop = _rbf_mop()
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=10)
+    arrs = trajectory_arrays(res)
+    idx = arrs["x_indices"]
+    assert idx.shape == (len(arrs["x"]), len(res.state.groups))
+    scal = res.state.scal
+    for i in range(len(arrs["x"])):
+        x_s = np.asarray(scaling.transform(scal, jnp.asarray(arrs["x"][i])))
+        for g, st in enumerate(res.state.groups):
+            row = np.asarray(st.db.X[idx[i, g]])
+            assert np.allclose(row, x_s, atol=1e-10), (i, g, row, x_s)

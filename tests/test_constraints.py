@@ -146,3 +146,40 @@ def test_restoration_max_restoration_evals_suspends_counting():
     out = solver._restoration(st, solver._theta(st), jnp.full((2,), jnp.nan))
     # only the final evaluate_true at x_r is counted
     assert int(out.groups[2].n_evals) == evals_before + 1
+
+
+def test_initial_stepsize_constraint_rows_cap_sigma():
+    """Delta > 1 branch: the sigma search intersects linearized constraint
+    rows, not just the local box (``descent.jl:276-292``)."""
+    from morbit_tpu.core.descent import initial_stepsize
+
+    x = jnp.zeros(2)
+    d = jnp.array([1.0, 0.0])  # inf-norm 1 -> big-Delta branch
+    lb, ub = jnp.full((2,), -10.0), jnp.full((2,), 10.0)
+    delta = jnp.asarray(2.0)
+    s_box = initial_stepsize(x, x, d, delta, lb, ub, jnp.float64)
+    assert np.isclose(float(s_box), 2.0)  # trust-region box crossing
+    # one row: x0 <= 0.5 along the ray => sigma = 0.5
+    s_con = initial_stepsize(
+        x, x, d, delta, lb, ub, jnp.float64,
+        con_vals=jnp.array([0.0]), con_dirs=jnp.array([1.0]),
+        con_rhs=jnp.array([0.5]))
+    assert np.isclose(float(s_con), 0.5)
+    # a non-binding row leaves the box crossing in charge
+    s_loose = initial_stepsize(
+        x, x, d, delta, lb, ub, jnp.float64,
+        con_vals=jnp.array([0.0]), con_dirs=jnp.array([1.0]),
+        con_rhs=jnp.array([7.0]))
+    assert np.isclose(float(s_loose), 2.0)
+
+
+def test_constrained_big_delta_end_to_end():
+    """Constrained solve with delta_max > 1 exercises the linearized-row
+    sigma path inside the jitted loop."""
+    mop = _base(lb=(-8.0, -8.0), ub=(8.0, 8.0))
+    mop.add_ineq_constraint([[1.0, 1.0]], [0.5])
+    res = optimize(mop, jnp.array([-5.0, 4.0]), max_iter=25,
+                   delta_0=1.5, delta_max=3.0)
+    x = np.asarray(res.x)
+    assert x.sum() <= 0.5 + 1e-6
+    assert np.all(np.isfinite(x))

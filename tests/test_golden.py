@@ -45,3 +45,40 @@ def test_trajectory_matches_golden():
         golden = json.load(f)
     rep = compare_trajectories(doc, golden, x_tol=1e-10)
     assert rep["parity"], rep
+
+
+def test_zdt1_rbf_trajectory_matches_golden():
+    """BASELINE config 3 lock: ZDT1 n=10, cubic RBF objectives, f64."""
+    import numpy as np
+    from morbit_tpu.problems.synthetic import make_zdt
+
+    mop = make_zdt("zdt1", 10, model_cfg=RbfConfig(kernel="cubic"))
+    x0 = jnp.asarray(np.linspace(0.15, 0.85, 10))
+    res = optimize(mop, x0, max_iter=20, f_tol_rel=1e-6, x_tol_rel=1e-6)
+    doc = export_trajectory(res)
+    with open(os.path.join(os.path.dirname(__file__), "golden",
+                           "zdt1_n10_rbf_cubic_f64.json")) as f:
+        golden = json.load(f)
+    rep = compare_trajectories(doc, golden, x_tol=1e-10)
+    assert rep["parity"], rep
+
+
+def test_constrained_filter_trajectory_matches_golden():
+    """BASELINE config 4 lock: linear + NL inequality constraints with the
+    filter/restoration machinery, f64."""
+    from morbit_tpu.models.configs import ExactConfig
+
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_exact_objective(lambda x: jnp.sum((x - 1.0) ** 2))
+    mop.add_exact_objective(lambda x: jnp.sum((x + 1.0) ** 2))
+    mop.add_ineq_constraint([[1.0, 1.0]], [1.0])
+    mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) - 2.25,
+                               model_cfg=ExactConfig())
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=25)
+    doc = export_trajectory(res)
+    with open(os.path.join(os.path.dirname(__file__), "golden",
+                           "constrained_filter_f64.json")) as f:
+        golden = json.load(f)
+    rep = compare_trajectories(doc, golden, x_tol=1e-10)
+    assert rep["parity"], rep
+    assert "RESTORATION" in doc["it_stat"]
