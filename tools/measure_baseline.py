@@ -1,0 +1,96 @@
+"""Measure the single-core sequential baseline for ``bench.py``.
+
+The Julia reference publishes no throughput numbers (BASELINE.md,
+``/root/reference/README.md``), and no Julia runtime is available in this
+environment, so the baseline denominator for the north-star ratio
+("`>=100x` throughput on 1024-way vmapped multistart RBF runs vs
+single-core Julia", BASELINE.json) is *measured* as:
+
+    this solver, single instance, **unvmapped**, float64, one CPU core,
+    at the exact bench.py problem/config (2D two-parabolas, multiquadric
+    RBF, ``max_iter=10, qp_iters=100``), timed sequentially over distinct
+    pre-staged Halton starts (distinct inputs defeat result caches —
+    CLAUDE.md "Performance findings").
+
+This is a conservative (i.e. generous-to-the-reference) stand-in for
+single-core Julia: it is the same trust-region algorithm doing the same
+dense RBF rebuilds and QP solves per run, JIT-compiled by XLA to native
+CPU code, sequential like the reference's inner loop.  For context the
+script also measures the reference-default budget (``max_iter=100,
+qp_iters=400``) — the config the reference would actually run.
+
+Writes ``baseline_measurement.json`` at the repo root (committed); bench.py
+reads the ``runs_per_sec`` field as its denominator.  Methodology is
+documented in BASELINE.md.
+
+Run:  python tools/measure_baseline.py
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+# sitecustomize pre-imports jax on the axon TPU tunnel; env vars are too
+# late here (CLAUDE.md "Environment quirks") — force the CPU backend.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from morbit_tpu.core.config import AlgorithmConfig  # noqa: E402
+from morbit_tpu.models.configs import RbfConfig  # noqa: E402
+from morbit_tpu.parallel.multistart import build_solver  # noqa: E402
+from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas  # noqa: E402
+
+
+def measure(max_iter: int, qp_iters: int, n_runs: int) -> dict:
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
+    solver = build_solver(mop, ac, jnp.float64)
+    run = jax.jit(solver.solve)
+
+    starts = jnp.asarray(halton_starts(n_runs + 1, mop.lb, mop.ub),
+                         jnp.float64)
+    # warmup / compile on a start not used in the timed loop
+    jax.block_until_ready(run(starts[-1]).x)
+
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        jax.block_until_ready(run(starts[i]).x)
+    dt = time.perf_counter() - t0
+    return {
+        "config": {"max_iter": max_iter, "qp_iters": qp_iters,
+                   "dtype": "float64", "n_runs": n_runs,
+                   "problem": "two_parabolas 2D, RbfConfig(multiquadric)"},
+        "runs_per_sec": round(n_runs / dt, 4),
+        "sec_per_run": round(dt / n_runs, 6),
+    }
+
+
+def main():
+    bench_cfg = measure(max_iter=10, qp_iters=100, n_runs=64)
+    default_cfg = measure(max_iter=100, qp_iters=400, n_runs=16)
+    out = {
+        "methodology": "single-instance unvmapped f64 sequential runs of "
+                       "this solver on one CPU core (XLA CPU backend), "
+                       "distinct Halton starts; see tools/measure_baseline.py"
+                       " and BASELINE.md",
+        "platform": jax.devices()[0].platform,
+        "cpu_count_visible": os.cpu_count(),
+        "bench_config": bench_cfg,          # denominator used by bench.py
+        "reference_default_config": default_cfg,  # for context
+    }
+    path = pathlib.Path(__file__).resolve().parent.parent / "baseline_measurement.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
