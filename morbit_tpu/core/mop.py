@@ -389,9 +389,33 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
     if mop.num_objectives == 0:
         raise ValueError("`mop` has no objectives!")
 
+    # ``RefVecFun`` value sharing (``VecFun.jl:13-98``,
+    # ``_optimized_evaluate_at_unscaled_site``, ``MOP.jl:302-350``): the same
+    # callable registered several times (e.g. as two objectives, or as an
+    # objective and a constraint) is ONE function evaluated once per site.
+    # Duplicates collapse onto a canonical index; the extra registrations
+    # become additional group members that read the same output slice, and
+    # the shared group eval counter reproduces the reference's shared
+    # ``CountedFunc`` counting.
+    canonical: dict[int, int] = {}
+    for i, f in enumerate(mop.functions):
+        can = i
+        for j in range(i):
+            g = mop.functions[j]
+            if (f.fn is g.fn and f.n_out == g.n_out
+                    and f.model_cfg == g.model_cfg
+                    and type(f.model_cfg) is type(g.model_cfg)
+                    and f.jac is g.jac and f.hess is g.hess
+                    and f.host == g.host and f.can_batch == g.can_batch):
+                can = canonical[j]
+                break
+        canonical[i] = can
+
     group_lists: list[list[int]] = []
     group_cfgs: list[SurrogateConfig] = []
     for i, f in enumerate(mop.functions):
+        if canonical[i] != i:
+            continue
         placed = False
         if combine_models and f.model_cfg.combinable:
             for gi, cfg in enumerate(group_cfgs):
@@ -420,6 +444,9 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
             role_offsets[c.role] += c.n_out
 
     groups = []
+    # canonical fn index -> (group index, group offset) for duplicate/member
+    # resolution below
+    canon_location: dict[int, tuple[int, int]] = {}
     for gi, fn_ids in enumerate(group_lists):
         members = []
         off = 0
@@ -429,6 +456,7 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
         for i in fn_ids:
             f = mop.functions[i]
             members.append(GroupMember(i, off, fn_global_offset[i], f.n_out, f.role))
+            canon_location[i] = (gi, off)
             off += f.n_out
             fns.append(f)
             max_ev = min(max_ev, f.max_evals, getattr(f.model_cfg, "max_evals", 2 ** 31 - 1))
@@ -438,11 +466,28 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
             m=off, max_evals=max_ev, has_objective=has_obj,
         ))
 
-    # locate each composite's inner function inside its group
-    fn_location = {}
-    for g in groups:
-        for mb in g.members:
-            fn_location[mb.fn_index] = (g.index, mb.group_offset)
+    # duplicate registrations (RefVecFun shares) become extra members reading
+    # the canonical function's output slice; budgets take the min (the
+    # reference's shared ``CountedFunc`` counter makes every index's budget
+    # apply to the same counter)
+    for i, can in canonical.items():
+        if can == i:
+            continue
+        f = mop.functions[i]
+        gi, goff = canon_location[can]
+        g = groups[gi]
+        groups[gi] = dataclasses.replace(
+            g,
+            members=g.members + (GroupMember(can, goff, fn_global_offset[i],
+                                             f.n_out, f.role),),
+            max_evals=min(g.max_evals, f.max_evals,
+                          getattr(f.model_cfg, "max_evals", 2 ** 31 - 1)),
+            has_objective=g.has_objective or f.role == OBJECTIVE,
+        )
+
+    # locate each composite's inner function inside its group (duplicate
+    # indices resolve to their canonical slot)
+    fn_location = {i: canon_location[can] for i, can in canonical.items()}
     composites = []
     obj_groups = set()
     for ci, c in enumerate(mop.composites):

@@ -130,6 +130,13 @@ class LagrangeConfig:
     # projected-gradient steps each
     ascent_restarts: int = 8
     ascent_iters: int = 40
+    # Cross-process persistence of the static lambda-poised stamp
+    # (``optimized_sampling=False``): directory where the stamp is saved and
+    # looked up, the ``save_path`` + ``io_lock`` analogue of the reference
+    # (``LagrangeModel.jl:77-80,537-573``). ``None`` keeps the in-process
+    # cache only. Concurrent writers are safe via atomic tmp-file + rename
+    # (replacing the reference's lock).
+    save_path: Optional[str] = None
 
     def __post_init__(self):
         assert 1 <= self.degree <= 2

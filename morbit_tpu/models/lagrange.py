@@ -125,17 +125,45 @@ class LagrangeOps(SurrogateOps):
     # ---- static stamp mode (optimized_sampling = false) ----------------------
     _stamp_cache: dict = {}
 
+    def _stamp_file(self):
+        """On-disk location of the persisted stamp, or None.
+
+        The ``save_path`` + ``io_lock`` analogue
+        (``LagrangeModel.jl:77-80,537-573``): a poised set computed by one
+        process is reused by every later process pointed at the same
+        directory. The filename encodes everything the construction depends
+        on; writes are atomic (tmp + rename), which replaces the lock."""
+        if self.cfg.save_path is None:
+            return None
+        import pathlib
+
+        c = self.cfg
+        name = (f"lagrange_stamp_n{self.n_vars}_d{c.degree}"
+                f"_lam{c.lambda_poise:g}_r{c.ascent_restarts}"
+                f"_i{c.ascent_iters}.npz")
+        return pathlib.Path(c.save_path) / name
+
     def _static_stamp(self):
         """One fixed lambda-poised set in [0,1]^n, computed once and cached
         (the reference's unoptimized-sampling 'stamp' with JLD2 save_path +
         io_lock, ``LagrangeModel.jl:537-573``). The set is problem-independent,
         so the poisedness algorithms run *eagerly* here and the result is a
-        trace-time constant."""
+        trace-time constant. With ``cfg.save_path`` set, the stamp is also
+        persisted on disk and reused across processes."""
         import numpy as np
 
-        key = (self.n_vars, self.cfg.degree, self.cfg.lambda_poise)
+        key = (self.n_vars, self.cfg.degree, self.cfg.lambda_poise,
+               self.cfg.ascent_restarts, self.cfg.ascent_iters)
         if key in LagrangeOps._stamp_cache:
             return LagrangeOps._stamp_cache[key]
+
+        path = self._stamp_file()
+        if path is not None and path.exists():
+            with np.load(path) as dat:
+                stamp = (np.asarray(dat["points"], np.float64),
+                         np.asarray(dat["B"], np.float64))
+            LagrangeOps._stamp_cache[key] = stamp
+            return stamp
 
         p, n = self.p, self.n_vars
         B = jnp.eye(p, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
@@ -169,6 +197,21 @@ class LagrangeOps(SurrogateOps):
                 break
         stamp = (np.asarray(points, np.float64), np.asarray(B, np.float64))
         LagrangeOps._stamp_cache[key] = stamp
+        if path is not None:
+            # atomic publish: concurrent writers race benignly (same content)
+            import os
+            import tempfile
+
+            path.parent.mkdir(parents=True, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    np.savez(fh, points=stamp[0], B=stamp[1])
+                os.replace(tmp, path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
         return stamp
 
     def _prepare_stamp(self, state, db, ctx: ModelContext):

@@ -125,3 +125,45 @@ def test_lagrange_static_stamp_mode():
     assert abs(x[0] - x[1]) < 0.2
     st = res.state.groups[0].model
     assert bool(st.fully_linear)
+
+
+def test_lagrange_stamp_persistence(tmp_path):
+    """save_path persists the static lambda-poised stamp across processes
+    (the JLD2 save_path + io_lock analogue, ``LagrangeModel.jl:77-80,537-573``):
+    a second Ops instance with a cold in-process cache loads the same stamp
+    from disk instead of recomputing."""
+    import numpy as np
+
+    from morbit_tpu.core.config import AlgorithmConfig
+    from morbit_tpu.core.mop import MOP, compile_mop
+    from morbit_tpu.core import scaling
+    from morbit_tpu.models.configs import LagrangeConfig
+    from morbit_tpu.models.lagrange import LagrangeOps
+
+    import jax.numpy as jnp
+
+    cfg = LagrangeConfig(degree=1, optimized_sampling=False,
+                         save_path=str(tmp_path))
+    mop = MOP([-1.0, -1.0], [1.0, 1.0])
+    mop.add_objective(lambda x: jnp.sum(x ** 2)[None], model_cfg=cfg)
+    cm = compile_mop(mop)
+    ac = AlgorithmConfig()
+    scal = scaling.get_var_scaler(jnp.asarray(cm.lb), jnp.asarray(cm.ub),
+                                  ac.var_scaler)
+
+    ops1 = LagrangeOps(cm.groups[0], cm.n_vars, jnp.float64, ac, scal)
+    pts1, B1 = ops1._static_stamp()
+    f = ops1._stamp_file()
+    assert f is not None and f.exists()
+
+    # simulate a fresh process: cold class-level cache
+    LagrangeOps._stamp_cache.clear()
+    ops2 = LagrangeOps(cm.groups[0], cm.n_vars, jnp.float64, ac, scal)
+    pts2, B2 = ops2._static_stamp()
+    np.testing.assert_array_equal(pts1, pts2)
+    np.testing.assert_array_equal(B1, B2)
+
+    # a corrupted/absent file is not consulted when the cache is warm
+    f.unlink()
+    pts3, _ = ops2._static_stamp()
+    np.testing.assert_array_equal(pts1, pts3)
