@@ -114,10 +114,17 @@ class Solver:
     ``initialize`` / ``iterate`` / ``solve`` functions."""
 
     def __init__(self, mop: CompiledMOP, ac: Optional[AlgorithmConfig] = None,
-                 dtype=jnp.float64, x0_hint=None, live_log: bool = False):
-        #: live per-iteration banner from inside the jitted loop
-        #: (``algorithm.jl:651-659``) via jax.debug.print
-        self.live_log = live_log
+                 dtype=jnp.float64, x0_hint=None, live_log=False,
+                 log_level: int = 0):
+        #: in-run log levels via jax.debug.print from inside the jitted loop —
+        #: the ``loglevel1..4`` analogue (``custom_logging.jl:18-66``):
+        #: log_level >= 3 -> per-iteration banner (``algorithm.jl:651-659``,
+        #: loglevel1-grade); >= 4 -> criticality-test/restoration/acceptance
+        #: progress (loglevel2/3-grade, ``algorithm.jl:534-561,470-482``);
+        #: >= 5 -> model-build internals per group (loglevel4-grade,
+        #: ``RbfModel.jl`` round messages).
+        self.log_level = max(int(log_level), 3 if live_log else 0)
+        self.live_log = self.log_level >= 3
         self.mop = mop
         self.ac = ac or AlgorithmConfig()
         self.dtype = dtype
@@ -145,7 +152,9 @@ class Solver:
             default=mop.n_vars + 1,
         )
         self.db_capacity = ac.resolved_db_capacity(mop.n_vars, max_model_pts)
-        self.container = SurrogateContainer(mop, dtype, ac, self.scal, self.db_capacity)
+        self.container = SurrogateContainer(mop, dtype, ac, self.scal,
+                                            self.db_capacity,
+                                            log_level=self.log_level)
 
         self.desc_cfg = resolve_descent_config(ac.descent_method)
 
@@ -579,6 +588,12 @@ class Solver:
         compatible = feasible & (
             norm_n <= ac.filter_kappa_delta * delta_n
             * jnp.minimum(1.0, ac.filter_kappa_mu * delta_n ** ac.filter_mu))
+        if self.log_level >= 4:
+            # ``Trying to find a normal step.`` + compatibility notice
+            # (``algorithm.jl:412,504``)
+            jax.debug.print(
+                "|  Normal step: |n|={n:.3e} feasible={f} compatible={c}",
+                n=norm_n, f=feasible, c=compatible)
 
         def compatible_branch(state):
             # radius may have been increased for compatibility (``:461-467``)
@@ -744,6 +759,13 @@ class Solver:
             groups = tuple(new_groups)
             state = state._replace(groups=groups)
 
+        if self.log_level >= 4:
+            # ``Performing restoration for feasibility.`` + acceptance notice
+            # (``algorithm.jl:470-482``)
+            jax.debug.print(
+                "|  Restoration: active={a} iters={i} theta_r={t:.3e}",
+                a=active, i=i_used, t=theta_r)
+
         x_r_s = scaling.transform(state.scal, x_r)
         fx_r, c_e_r, c_i_r, groups, idx_r = self.container.evaluate_true(
             state.groups, x_r_s, state.scal)
@@ -826,6 +848,11 @@ class Solver:
         fully_lin = self.container.fully_linear(inter.groups)
         enter_crit = theta_k_zero & (omega <= ac.eps_crit) & (
             (~fully_lin) | (state.delta > mu * omega))
+        if self.log_level >= 4:
+            # ``Entered Criticallity Test.`` (``algorithm.jl:534``)
+            jax.debug.print(
+                "|  Criticality test: entered={e} omega={o:.3e} "
+                "fully_linear={f}", e=enter_crit, o=omega, f=fully_lin)
 
         # ``criticality_routine`` (``algorithm.jl:523-613``) as ONE unified
         # while_loop: the make-fully-linear pre-step (``:536-551``) is the
@@ -875,6 +902,12 @@ class Solver:
                 groups, omega, d = crit_update(groups, 7001 + n_loops)
                 fl_now = self.container.fully_linear(groups)
                 n_loops = n_loops + jnp.where(first, 0, 1)
+                if self.log_level >= 4:
+                    # ``(Criticality Test) Criticality loop N`` (``:561``)
+                    jax.debug.print(
+                        "|  (Criticality Test) pass {p}: delta={d:.3e} "
+                        "omega={o:.3e} fully_linear={f}",
+                        p=n_loops, d=delta, o=omega, f=fl_now)
 
                 # pre-step outcome (``:545-551``): loop only if models became
                 # fully linear and still critical; else "one last descent
@@ -1104,6 +1137,13 @@ class Solver:
             filter=filt,
         )
 
+        if self.log_level >= 4:
+            # acceptance summary (``algorithm.jl:890-897``)
+            jax.debug.print(
+                "|  Acceptance: it_stat={s} rho={r:.3e} omega={o:.3e} "
+                "steplength={l:.3e} accept={a} delta->{d:.3e}",
+                s=it_stat, r=rho, o=omega, l=steplength, a=accept, d=delta_new)
+
         # ---- stamp (``:899-903``)
         traj = self._stamp(next_state.traj, next_state.x, next_state.fx,
                            delta_new, rho, omega, steplength, 0,
@@ -1158,9 +1198,12 @@ def optimize(mop, x0, algo_config: Optional[AlgorithmConfig] = None,
 
     Extra keyword arguments are promoted into the config like the
     reference's kwargs-to-config path (``algorithm.jl:198-221``).
-    ``populated_db`` recycles a previous run's databases; ``verbosity >= 1``
-    prints the final report, ``>= 2`` per-iteration lines (host-side, from
-    the stamped trajectory)."""
+    ``populated_db`` recycles a previous run's databases. ``verbosity`` maps
+    to the reference's ``loglevel1..4`` ladder (``custom_logging.jl:18-66``):
+    ``>= 1`` final report, ``>= 2`` per-iteration replay (host-side, from the
+    stamped trajectory), ``>= 3`` live per-iteration banner from inside the
+    jitted loop, ``>= 4`` live criticality-test / normal-step / restoration /
+    acceptance progress, ``>= 5`` live model-build internals per group."""
     if algo_config is None:
         algo_config = AlgorithmConfig(**kwargs)
     elif kwargs:
@@ -1168,7 +1211,7 @@ def optimize(mop, x0, algo_config: Optional[AlgorithmConfig] = None,
     cmop = mop if isinstance(mop, CompiledMOP) else compile_mop(
         mop, algo_config.combine_models)
     solver = Solver(cmop, algo_config, dtype, x0_hint=x0,
-                    live_log=verbosity >= 3)
+                    log_level=verbosity)
 
     if populated_db is None:
         def full(x0):

@@ -57,12 +57,16 @@ def make_ops(group, n_vars, dtype, ac, scal):
 class SurrogateContainer:
     """Static container built once at compile time."""
 
-    def __init__(self, mop: CompiledMOP, dtype, ac, scal, db_capacity: int):
+    def __init__(self, mop: CompiledMOP, dtype, ac, scal, db_capacity: int,
+                 log_level: int = 0):
         self.mop = mop
         self.dtype = dtype
         self.ac = ac
         self.scal = scal
         self.db_capacity = db_capacity
+        #: >= 5 prints model-build internals from inside the jitted loop
+        #: (the loglevel3/4-grade messages of ``RbfModel.jl`` round logging)
+        self.log_level = log_level
         self.ops = tuple(
             make_ops(g, mop.n_vars, dtype, ac, scal) for g in mop.groups
         )
@@ -218,8 +222,17 @@ class SurrogateContainer:
             evaled.append(st._replace(db=db, n_evals=st.n_evals + n_new))
         # phase 2
         out = []
-        for ops, st, ctx in zip(self.ops, evaled, ctxs):
+        for gi, (ops, st, ctx) in enumerate(zip(self.ops, evaled, ctxs)):
             model = ops.fit(st.model, st.db, ctx)
+            if self.log_level >= 5:
+                # model-build internals (loglevel3/4-grade round messages,
+                # ``RbfModel.jl:518-655``)
+                n_train = getattr(model, "n_train", jnp.asarray(-1, jnp.int32))
+                jax.debug.print(
+                    "|   (Models) group {g}: n_train={n} fully_linear={f} "
+                    "db_count={c} delta={d:.3e}",
+                    g=gi, n=n_train, f=ops.fully_linear(model),
+                    c=st.db.count, d=ctx.delta)
             out.append(st._replace(model=model))
         return tuple(out)
 
