@@ -162,6 +162,17 @@ class Solver:
         self.f_dim = mop.m_obj if self.filter_mode == "strict" else 1
         self.has_constraints = mop.has_nl_constraints or mop.has_lin_constraints
         self.T = ac.resolved_trajectory_capacity()
+        # Criticality-loop fast-forward (perf, semantics-preserving): the
+        # rebuilds inside the loop see the *unchanged* iterate radius
+        # (``algorithm.jl:580``: ``update_surrogates!`` reads ``iter_data``
+        # whose Delta is only set after the loop), so once a pass maps the
+        # group states onto themselves the remaining passes are pure Delta
+        # bookkeeping — valid only when no model's phase 1 consumes
+        # randomness (round-4 ``use_max_points`` sampling re-keys per pass).
+        from morbit_tpu.models.configs import RbfConfig as _RbfCfg
+        self._crit_ff = not any(
+            isinstance(g.cfg, _RbfCfg) and g.cfg.use_max_points
+            for g in mop.groups)
 
     # ------------------------------------------------------------------ helpers
     def _lin_matrices(self, scal):
@@ -872,16 +883,33 @@ class Solver:
                 inter.fx, delta0, inter.scal)
             return groups, omega, d
 
+        def _fixpoint(g_in, g_out):
+            """True iff a criticality pass mapped the group states onto
+            themselves: identical model pytrees, database fill and eval
+            counters. ``crit_update`` is deterministic in its group input
+            (delta0/x/scal are loop constants; the PRNG key is unused when
+            ``self._crit_ff``), so a fixpoint makes every further rebuild
+            pass identical — only the Delta bookkeeping remains."""
+            eq = jnp.asarray(True)
+            for a, b in zip(g_in, g_out):
+                for x, y in zip(jax.tree_util.tree_leaves(a.model),
+                                jax.tree_util.tree_leaves(b.model)):
+                    eq = eq & jnp.all(x == y)
+                eq = eq & (a.db.count == b.db.count) & (a.n_evals == b.n_evals)
+            return eq
+
         def loop_cond(carry):
             (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-             done) = carry
+             done, stable) = carry
             # ``while all(Delta > mu*omega)`` (``:560``), or the pending
-            # pre-step pass
-            return (~done) & (first | (do_loops & (delta > mu * omega)))
+            # pre-step pass; stabilized lanes leave for the Delta-only
+            # fast-forward loop below
+            return (~done) & (first | (do_loops & (delta > mu * omega)
+                                       & (~stable)))
 
         def loop_body(carry):
             (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-             done) = carry
+             done, stable) = carry
             # loop-phase budget/count checks happen before any work (``:563-573``)
             stop_now = (~first) & (
                 (n_loops >= ac.max_critical_loops)
@@ -889,17 +917,20 @@ class Solver:
 
             def halt(c):
                 (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-                 done) = c
+                 done, stable) = c
                 return (groups, delta, omega, d, n_loops, jnp.asarray(True),
-                        first, do_loops, jnp.asarray(True))
+                        first, do_loops, jnp.asarray(True), stable)
 
             def work(c):
                 (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-                 done) = c
+                 done, stable) = c
                 # pre-step keeps Delta; loop passes shrink the local copy
                 # (the rebuild still sees the iterate's radius, ``:575-579``)
                 delta = jnp.where(first, delta, gamma_c * delta)
+                groups_in = groups
                 groups, omega, d = crit_update(groups, 7001 + n_loops)
+                if self._crit_ff:
+                    stable = _fixpoint(groups_in, groups)
                 fl_now = self.container.fully_linear(groups)
                 n_loops = n_loops + jnp.where(first, 0, 1)
                 if self.log_level >= 4:
@@ -923,7 +954,7 @@ class Solver:
 
                 return (groups, delta, omega, d, n_loops,
                         exit_c | tol_exit, jnp.asarray(False), do_loops_new,
-                        done | done_pre | tol_exit)
+                        done | done_pre | tol_exit, stable)
 
             return jax.lax.cond(stop_now, halt, work, carry)
 
@@ -931,9 +962,38 @@ class Solver:
         # entry with fully linear models implies Delta > mu*omega (``:738``)
         do_loops0 = enter_crit & fully_lin
         init = (inter.groups, delta0, omega, d, jnp.asarray(0, jnp.int32),
-                jnp.asarray(False), first0, do_loops0, ~enter_crit)
-        (groups, delta_loc, omega, d, _, exit_c, _, do_loops, _) = \
-            jax.lax.while_loop(loop_cond, loop_body, init)
+                jnp.asarray(False), first0, do_loops0, ~enter_crit,
+                jnp.asarray(False))
+        (groups, delta_loc, omega, d, n_loops_r, exit_c, _, do_loops,
+         done_r, stable_r) = jax.lax.while_loop(loop_cond, loop_body, init)
+
+        if self._crit_ff:
+            # Delta-only fast-forward for stabilized lanes: replays the
+            # remaining loop passes WITHOUT the (provably identical) rebuild
+            # — same ordering as loop_body: budget/count halt first, then
+            # shrink, then the tolerance/FL exits with the fixed omega.
+            fl_s = self.container.fully_linear(groups)
+            budget_x = self.container.budget_exhausted(groups)
+            ff_act = stable_r & do_loops & (~done_r)
+
+            def ff_cond(c):
+                delta, n_loops, exit_c, done = c
+                return (~done) & (delta > mu * omega)
+
+            def ff_body(c):
+                delta, n_loops, exit_c, done = c
+                stop_now = (n_loops >= ac.max_critical_loops) | budget_x
+                delta_n = jnp.where(stop_now, delta, gamma_c * delta)
+                n_loops_n = jnp.where(stop_now, n_loops, n_loops + 1)
+                tol_exit = (~stop_now) & (
+                    (delta_n <= ac.delta_tol_abs)
+                    | self._omega_tests(omega, delta_n) | (~fl_s))
+                return (delta_n, n_loops_n, exit_c | stop_now | tol_exit,
+                        done | stop_now | tol_exit)
+
+            delta_loc, _, exit_c, _ = jax.lax.while_loop(
+                ff_cond, ff_body,
+                (delta_loc, n_loops_r, exit_c, ~ff_act))
 
         # Delta update only applies when loops were entered (``:605``)
         delta = jnp.where(

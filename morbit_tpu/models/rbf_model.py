@@ -393,15 +393,12 @@ class RbfOps(SurrogateOps):
         mask = jnp.arange(self.cap_train) < state.n_train
         sites, values = dbm.get_rows(db, state.idx)
         param = self._resolve_param(ctx.delta)
+        # singular/degenerate KKT systems (fewer valid points than the poly
+        # tail needs) are covered by fit_rbf's internal residual-checked
+        # ridge fallback — no second fit here (it doubled the batched KKT
+        # solve cost on the criticality-loop hot path)
         fit = fit_rbf(sites, values, mask, kernel=self.kernel, param=param,
                       poly_deg=self.poly_deg)
-        # singular-KKT fallback (fewer valid points than the poly tail needs):
-        # re-solve with a tiny ridge on the tail block
-        bad = ~jnp.all(jnp.isfinite(fit.w)) | ~jnp.all(jnp.isfinite(fit.lam))
-        fit_reg = fit_rbf(sites, values, mask, kernel=self.kernel, param=param,
-                          poly_deg=self.poly_deg, reg=1e-10)
-        fit = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(bad, b, a), fit, fit_reg)
         return state._replace(fit=fit)
 
     # ------------------------------------------------------------------ eval

@@ -1,0 +1,113 @@
+"""Unrolled dense solvers for tiny matrices (TPU hot path).
+
+XLA's batched LU/Cholesky lowerings serialize pivot loops with dynamic
+slices and cost milliseconds for ``(B, k, k)`` operands even at ``k <= 16``
+(measured on v5e, B=1024, k=9: ``jnp.linalg.solve`` 2.48 ms,
+``lu_factor`` 2.34 ms, ``cholesky`` 1.00 ms — tools/profile_linalg.py).
+The routines here unroll over the *static* tiny dimension with pure
+elementwise/where ops (no gathers, no while loops), so under ``vmap`` every
+step is one fused full-batch VPU op: the same k=9 solve runs in ~0.012 ms —
+~200x faster.
+
+All functions are written single-instance (``A (k, k)``) and are
+vmap-transparent. Row pivoting uses where-selects, never dynamic indexing.
+
+Precision policy: float64 callers (CPU parity / golden-trajectory runs)
+should keep ``jnp.linalg`` for bit-stability with round-1 goldens — use
+:func:`solve_small`, which dispatches on dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gj_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``A x = b`` by Gauss-Jordan elimination with partial pivoting.
+
+    ``A``: (k, k), ``b``: (k,) or (k, m); unrolled over static k. Singular
+    systems produce inf/nan (like LU), which callers detect with their
+    existing ``isfinite`` / residual fallbacks.
+    """
+    k = A.shape[0]
+    vec = b.ndim == 1
+    B = b[:, None] if vec else b
+    M = jnp.concatenate([A, B], axis=1)  # (k, k + m)
+    rows = jnp.arange(k)
+    for col in range(k):
+        sub = jnp.abs(M[col:, col])
+        piv = jnp.argmax(sub) + col                      # traced scalar
+        is_piv = rows == piv                             # (k,)
+        is_col = rows == col                             # (k,) static pattern
+        # swap rows col <-> piv via where-selects (gather-free)
+        row_piv = jnp.sum(jnp.where(is_piv[:, None], M, 0.0), axis=0)
+        row_col = M[col]
+        M = jnp.where(is_col[:, None], row_piv[None, :],
+                      jnp.where(is_piv[:, None], row_col[None, :], M))
+        # normalize pivot row, eliminate the column everywhere else
+        pivrow = M[col] / M[col, col]
+        factors = M[:, col:col + 1]
+        M = jnp.where(is_col[:, None], pivrow[None, :],
+                      M - factors * pivrow[None, :])
+    X = M[:, k:]
+    return X[:, 0] if vec else X
+
+
+def gj_inverse(A: jax.Array) -> jax.Array:
+    """Inverse via :func:`gj_solve` against the identity."""
+    return gj_solve(A, jnp.eye(A.shape[0], dtype=A.dtype))
+
+
+def solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Dtype dispatch: unrolled Gauss-Jordan at <= 32-bit (TPU perf path),
+    ``jnp.linalg.solve`` at float64 (keeps CPU parity/golden trajectories
+    bit-identical to round 1)."""
+    if jnp.finfo(A.dtype).bits <= 32:
+        return gj_solve(A, b)
+    if b.ndim == 1:
+        return jnp.linalg.solve(A, b[:, None])[:, 0]
+    return jnp.linalg.solve(A, b)
+
+
+def chol_factor(M: jax.Array) -> jax.Array:
+    """Unrolled Cholesky of an SPD (k, k) matrix; returns lower L.
+
+    Breakdown (non-SPD input) yields nan entries, detectable with
+    ``isfinite`` exactly like ``jnp.linalg.cholesky``."""
+    k = M.shape[0]
+    L = [[None] * k for _ in range(k)]
+    for j in range(k):
+        s = M[j, j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        L[j][j] = jnp.sqrt(s)
+        for i in range(j + 1, k):
+            s2 = M[i, j]
+            for t in range(j):
+                s2 = s2 - L[i][t] * L[j][t]
+            L[i][j] = s2 / L[j][j]
+    zero = jnp.zeros_like(M[0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(k)])
+            for i in range(k)]
+    return jnp.stack(rows)
+
+
+def chol_solve(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``L L' x = b`` by unrolled forward/back substitution.
+
+    ``L``: (k, k) lower triangular; ``b``: (k,)."""
+    k = L.shape[0]
+    y = [None] * k
+    for i in range(k):
+        s = b[i]
+        for t in range(i):
+            s = s - L[i, t] * y[t]
+        y[i] = s / L[i, i]
+    x = [None] * k
+    for i in reversed(range(k)):
+        s = y[i]
+        for t in range(i + 1, k):
+            s = s - L[t, i] * x[t]
+        x[i] = s / L[i, i]
+    return jnp.stack(x)

@@ -97,14 +97,28 @@ def solve_qp(
     # 263 runs/s on the multistart bench). XLA's batched lowering wins.
     use_pallas_loop = False
 
+    # unrolled tiny-k factorizations at <= 32-bit (XLA's batched
+    # cholesky/triangular-solve lowerings cost ~1 ms at (1024, 9, 9) on v5e;
+    # the unrolled ops fuse to ~us — tools/profile_linalg.py); float64 keeps
+    # jnp.linalg for bit-stability with the round-1 golden trajectories
+    from morbit_tpu.ops.batched_linalg import chol_factor, chol_solve
+
+    def _chol(M_):
+        return chol_factor(M_) if f32 else jnp.linalg.cholesky(M_)
+
+    def _chol_solve(L_, rhs_):
+        if f32:
+            return chol_solve(L_, rhs_)
+        return jax.scipy.linalg.cho_solve((L_, True), rhs_)
+
     def stage(carry, rho_scale_unused=None):
         z, zz, y, rho_v = carry
         M = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
         # Cholesky once per stage; jittered refactorization on breakdown
-        L = jnp.linalg.cholesky(M)
+        L = _chol(M)
         bad = ~jnp.all(jnp.isfinite(L))
         jitter = 1e-3 * (jnp.trace(M) / n + 1.0)
-        L2 = jnp.linalg.cholesky(M + jitter * jnp.eye(n, dtype=dtype))
+        L2 = _chol(M + jitter * jnp.eye(n, dtype=dtype))
         L = jnp.where(bad, L2, L)
         # pin the factorization outside the splitting loop: without the
         # barrier XLA can sink the (loop-invariant) Cholesky into the loop
@@ -127,7 +141,7 @@ def solve_qp(
             def step(_, s):
                 z, zz, y = s
                 rhs = sigma * z - q + A.T @ (rho_v * zz - y)
-                xt = jax.scipy.linalg.cho_solve((L, True), rhs)
+                xt = _chol_solve(L, rhs)
                 zt = A @ xt
                 z_new = alpha * xt + (1 - alpha) * z
                 zz_arg = alpha * zt + (1 - alpha) * zz + y / rho_v
@@ -206,8 +220,18 @@ def _polish(P, q, A, l, u, z, y, delta: float = 1e-8, refine_steps: int = 3):
     ])
     rhs = jnp.concatenate([-q, act * b_act])
 
-    lu, piv = jax.scipy.linalg.lu_factor(K)
-    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    f32 = jnp.finfo(dtype).bits <= 32
+    if f32:
+        # unrolled inverse once; refinement applications become matvecs
+        # (XLA's batched lu_factor costs ~2.3 ms at (1024, 9, 9) on v5e)
+        from morbit_tpu.ops.batched_linalg import gj_inverse
+
+        Kinv = gj_inverse(K)
+        solve_K = lambda v: Kinv @ v
+    else:
+        lu, piv = jax.scipy.linalg.lu_factor(K)
+        solve_K = lambda v: jax.scipy.linalg.lu_solve((lu, piv), v)
+    sol = solve_K(rhs)
 
     # iterative refinement against the *unregularized* KKT operator
     def kkt_mv(v):
@@ -216,7 +240,7 @@ def _polish(P, q, A, l, u, z, y, delta: float = 1e-8, refine_steps: int = 3):
 
     for _ in range(refine_steps):
         r = rhs - kkt_mv(sol)
-        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), r)
+        sol = sol + solve_K(r)
 
     z_pol = sol[:n]
     y_pol = act * sol[n:]

@@ -178,14 +178,16 @@ def fit_rbf(
 
         rhs = jnp.where(mask[:, None], values, 0.0)
 
+    from morbit_tpu.ops.batched_linalg import solve_small
+
     K = kkt(jnp.asarray(reg, dtype))
-    sol = jnp.linalg.solve(K, rhs)
+    sol = solve_small(K, rhs)
     # residual-checked ridge fallback for singular/degenerate systems
     resid = jnp.max(jnp.abs(K @ sol - rhs)) / (jnp.max(jnp.abs(rhs)) + 1.0)
     tol = 1e2 * jnp.sqrt(jnp.finfo(dtype).eps)
     bad = (~jnp.all(jnp.isfinite(sol))) | (resid > tol)
     ridge = max(reg, 1e2 * float(jnp.finfo(dtype).eps))
-    sol2 = jnp.linalg.solve(kkt(jnp.asarray(ridge, dtype)), rhs)
+    sol2 = solve_small(kkt(jnp.asarray(ridge, dtype)), rhs)
     sol = jnp.where(bad, sol2, sol)
 
     w = jnp.where(mask[:, None], sol[:max_pts] / alpha, 0.0)
