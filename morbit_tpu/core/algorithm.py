@@ -568,94 +568,118 @@ class Solver:
     # ---------------------------------------------------------------- phase A
     def _constrained_phase(self, state: SolverState, theta_k) -> SolverState:
         """Normal step / restoration dispatch (``find_normal_step``,
-        ``algorithm.jl:406-521``)."""
-        need_normal = ~self._violation_zero(theta_k)
+        ``algorithm.jl:406-521``).
 
-        def no_normal(state):
-            return self._main_phase(state, state, theta_k, theta_k)
-
-        def with_normal(state):
-            return self._normal_step_flow(state, theta_k)
-
-        return jax.lax.cond(need_normal, with_normal, no_normal, state)
-
-    def _normal_step_flow(self, state: SolverState, theta_k) -> SolverState:
+        TPU-first restructuring (round-2 roadmap "masked normal step"):
+        the NL linearizations + normal-step QP run inside a 0/1-trip
+        ``while_loop`` so feasible lanes skip them entirely under vmap, and
+        ``_main_phase`` (criticality + trial — the expensive continuation)
+        is invoked ONCE with per-lane-selected inputs instead of once per
+        cond branch (a vmapped cond lowers to a select that executes both
+        branches for the whole batch)."""
         ac = self.ac
         dtype = self.dtype
-        x_s = state.x_s
-        groups = state.groups
-
+        n = self.mop.n_vars
         scal = state.scal
-        lin = self._linearized_constraints_at(groups, x_s, x_s, state.l_e,
-                                              state.l_i, scal)
-        variable_radius = state.last_it_stat == ITER_TYPE.RESTORATION
-        n_step, delta_n, feasible = normal_step(
-            x_s, scal.lb_scaled, scal.ub_scaled, lin,
-            ac.filter_kappa_delta, ac.delta_max, state.delta, variable_radius,
-            qp_iters=ac.qp_iters)
+        need_normal = ~self._violation_zero(theta_k)
+
+        # --- gated normal-step subproblem (``compute_normal_step``)
+        def ns_cond(c):
+            return c[0]
+
+        def ns_body(c):
+            lin = self._linearized_constraints_at(
+                state.groups, state.x_s, state.x_s, state.l_e, state.l_i,
+                scal)
+            variable_radius = state.last_it_stat == ITER_TYPE.RESTORATION
+            n_step, delta_n, feasible = normal_step(
+                state.x_s, scal.lb_scaled, scal.ub_scaled, lin,
+                ac.filter_kappa_delta, ac.delta_max, state.delta,
+                variable_radius, qp_iters=ac.qp_iters)
+            return jnp.asarray(False), n_step, delta_n, feasible
+
+        _, n_step, delta_n, feasible = jax.lax.while_loop(
+            ns_cond, ns_body,
+            (need_normal, jnp.zeros((n,), dtype), state.delta,
+             jnp.asarray(True)))
 
         # compatibility test (``is_compatible``, ``algorithm.jl:131-137``)
         norm_n = jnp.max(jnp.abs(jnp.where(jnp.isnan(n_step), jnp.inf, n_step)))
-        compatible = feasible & (
+        compatible_raw = feasible & (
             norm_n <= ac.filter_kappa_delta * delta_n
             * jnp.minimum(1.0, ac.filter_kappa_mu * delta_n ** ac.filter_mu))
+        take_n = need_normal & compatible_raw
         if self.log_level >= 4:
             # ``Trying to find a normal step.`` + compatibility notice
             # (``algorithm.jl:412,504``)
             jax.debug.print(
-                "|  Normal step: |n|={n:.3e} feasible={f} compatible={c}",
-                n=norm_n, f=feasible, c=compatible)
+                "|  Normal step: needed={d} |n|={n:.3e} feasible={f} "
+                "compatible={c}", d=need_normal, n=norm_n, f=feasible,
+                c=compatible_raw)
 
-        def compatible_branch(state):
-            # radius may have been increased for compatibility (``:461-467``)
-            changed = ~jnp.isclose(delta_n, state.delta)
-            groups2 = jax.tree_util.tree_map(lambda a: a, state.groups)
-            groups2 = jax.lax.cond(
-                changed,
-                lambda g: self.container.set_fully_linear(g, False),
-                lambda g: g, groups2)
-            x_n_s = state.x_s + jnp.nan_to_num(n_step)
-            fx_n, c_e_n, c_i_n, groups3, idx_n = self.container.evaluate_true(
-                groups2, x_n_s, scal)
-            l_e_n, l_i_n = self._linear_values(x_n_s, scal)
-            state_n = state._replace(
-                groups=groups3, delta=jnp.where(changed, delta_n, state.delta))
-            inter = state_n._replace(
-                x=scaling.untransform(scal, x_n_s), x_s=x_n_s, fx=fx_n,
-                l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n, x_indices=idx_n)
-            theta_n = self._theta(inter)
-            return self._main_phase(state_n, inter, theta_k, theta_n)
+        # --- candidate bundle at x+n (``:461-514``); results are selected
+        # per leaf against the stay-put bundle, reproducing the discard
+        # semantics of the former cond branches
+        changed = take_n & (~jnp.isclose(delta_n, state.delta))
+        groups2 = jax.lax.cond(
+            changed,
+            lambda g: self.container.set_fully_linear(g, False),
+            lambda g: g, state.groups)
+        x_n_s = state.x_s + jnp.where(take_n, jnp.nan_to_num(n_step), 0.0)
+        fx_n, c_e_n, c_i_n, groups3, idx_n = self.container.evaluate_true(
+            groups2, x_n_s, scal)
+        l_e_n, l_i_n = self._linear_values(x_n_s, scal)
+        state_b = state._replace(
+            groups=groups3, delta=jnp.where(changed, delta_n, state.delta))
+        inter_b = state_b._replace(
+            x=scaling.untransform(scal, x_n_s), x_s=x_n_s, fx=fx_n,
+            l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n, x_indices=idx_n)
+        theta_n = self._theta(inter_b)
 
-        def incompatible_branch(state):
-            last_restoration = state.last_it_stat == ITER_TYPE.RESTORATION
-            if self.mop.has_nl_constraints:
-                active = (~compatible) & (~last_restoration)
-                return jax.lax.cond(
-                    last_restoration,
-                    lambda s: self._finish_early(s, STOP_CODE.INFEASIBLE),
-                    lambda s: self._restoration(s, theta_k, n_step, active),
-                    state)
-            # linearly constrained only: use n itself for restoration (``:447-452``)
-            n_ok = feasible & jnp.all(jnp.isfinite(n_step))
+        sel = lambda b, a: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(take_n, x, y), b, a)
+        state_sel = sel(state_b, state)
+        inter_sel = sel(inter_b, state)
+        theta_sel = jnp.where(take_n, theta_n, theta_k)
 
-            def linear_restoration(s):
-                x_n_s = s.x_s + jnp.nan_to_num(n_step)
-                fx_n, c_e_n, c_i_n, g3, idx_n = self.container.evaluate_true(
-                    s.groups, x_n_s, s.scal)
-                l_e_n, l_i_n = self._linear_values(x_n_s, s.scal)
-                nxt = s._replace(
-                    x=scaling.untransform(s.scal, x_n_s), x_s=x_n_s, fx=fx_n,
-                    l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n,
-                    groups=g3, x_indices=idx_n)
-                return self._finish_restoration(nxt)
+        out_main = self._main_phase(state_sel, inter_sel, theta_k, theta_sel)
 
+        # --- incompatible path (restoration / INFEASIBLE, ``:440-493``)
+        out_other = self._incompatible_path(state, theta_k, n_step, feasible,
+                                            need_normal & (~compatible_raw))
+        return jax.tree_util.tree_map(
+            lambda o, m: jnp.where(need_normal & (~compatible_raw), o, m),
+            out_other, out_main)
+
+    def _incompatible_path(self, state: SolverState, theta_k, n_step,
+                           feasible, active) -> SolverState:
+        last_restoration = state.last_it_stat == ITER_TYPE.RESTORATION
+        if self.mop.has_nl_constraints:
             return jax.lax.cond(
-                n_ok & (~last_restoration),
-                linear_restoration,
+                last_restoration,
                 lambda s: self._finish_early(s, STOP_CODE.INFEASIBLE),
+                lambda s: self._restoration(s, theta_k, n_step,
+                                            active & (~last_restoration)),
                 state)
+        # linearly constrained only: use n itself for restoration (``:447-452``)
+        n_ok = feasible & jnp.all(jnp.isfinite(n_step))
 
-        return jax.lax.cond(compatible, compatible_branch, incompatible_branch, state)
+        def linear_restoration(s):
+            x_n_s = s.x_s + jnp.nan_to_num(n_step)
+            fx_n, c_e_n, c_i_n, g3, idx_n = self.container.evaluate_true(
+                s.groups, x_n_s, s.scal)
+            l_e_n, l_i_n = self._linear_values(x_n_s, s.scal)
+            nxt = s._replace(
+                x=scaling.untransform(s.scal, x_n_s), x_s=x_n_s, fx=fx_n,
+                l_e=l_e_n, l_i=l_i_n, c_e=c_e_n, c_i=c_i_n,
+                groups=g3, x_indices=idx_n)
+            return self._finish_restoration(nxt)
+
+        return jax.lax.cond(
+            n_ok & (~last_restoration),
+            linear_restoration,
+            lambda s: self._finish_early(s, STOP_CODE.INFEASIBLE),
+            state)
 
     def _restoration(self, state: SolverState, theta_k, r_guess,
                      active=True) -> SolverState:
