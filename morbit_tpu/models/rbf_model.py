@@ -169,7 +169,8 @@ class RbfOps(SurrogateOps):
                 jnp.where(do, use_id, idx[jnp.clip(i, 0, self.cap_train - 1)]))
             return db, idx
 
-        db, idx = jax.lax.fori_loop(1, self.n_vars + 1, transfer, (db, idx))
+        db, idx = jax.lax.fori_loop(1, self.n_vars + 1, transfer, (db, idx),
+                                    unroll=True)
         count = n_13
 
         state = state._replace(
@@ -278,7 +279,8 @@ class RbfOps(SurrogateOps):
             db, new_id = dbm.add_site(db, sites3[i], do_add=active3[i])
             return db, r3_idx.at[i].set(new_id)
 
-        db, r3_idx = jax.lax.fori_loop(0, n, add_one, (db, r3_idx))
+        db, r3_idx = jax.lax.fori_loop(0, n, add_one, (db, r3_idx),
+                                       unroll=True)
 
         # ---- assemble training indices: [center; r1; r2; r3]
         idx = jnp.zeros((self.cap_train,), jnp.int32)

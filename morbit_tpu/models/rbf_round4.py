@@ -81,7 +81,8 @@ def _masked_householder_qr(Pi):
         Q = Q - beta * jnp.outer(Q @ v, v)
         return A, Q
 
-    A, Q = jax.lax.fori_loop(0, pd, body, (A, Q))
+    # pd is tiny and static: full unroll removes while-trip overhead
+    A, Q = jax.lax.fori_loop(0, pd, body, (A, Q), unroll=True)
     return Q, A
 
 
@@ -157,7 +158,8 @@ def run_round4(
 
         return jax.lax.fori_loop(
             0, pd, giv,
-            (st.R, pi_xi, jnp.zeros((maxN,), dtype), jnp.asarray(1.0, dtype)))
+            (st.R, pi_xi, jnp.zeros((maxN,), dtype), jnp.asarray(1.0, dtype)),
+            unroll=True)
 
     def candidate_quantities(st, xi):
         """tau^2 test ingredients for one candidate vs the current state."""
@@ -220,7 +222,8 @@ def run_round4(
                 return Q, R, row
 
             Qn, _, _ = jax.lax.fori_loop(
-                0, pd, givq, (st.Q, st.R, poly_basis(xi, poly_deg)))
+                0, pd, givq, (st.Q, st.R, poly_basis(xi, poly_deg)),
+                unroll=True)
             Rn = R_rot.at[slotN].set(row_rot)
         else:
             Qn = st.Q

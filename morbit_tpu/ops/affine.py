@@ -62,7 +62,7 @@ def householder_q(Y: jax.Array, k) -> jax.Array:
         Q = Q - beta * jnp.outer(Q @ v, v)
         return A, Q
 
-    A, Q = jax.lax.fori_loop(0, kmax, body, (A, Q))
+    A, Q = jax.lax.fori_loop(0, kmax, body, (A, Q), unroll=True)
     return Q
 
 
@@ -162,7 +162,7 @@ def affinely_independent_points(
         Z0,
         jnp.asarray(False),
     )
-    carry = jax.lax.fori_loop(0, n, body, carry)
+    carry = jax.lax.fori_loop(0, n, body, carry, unroll=True)
     selected, order, n_picked, Y, k, Z, _ = carry
     return AffineSelection(selected, order, n_picked, Y, k, Z)
 

@@ -149,7 +149,10 @@ def solve_qp(
                 y_new = y + rho_v * (alpha * zt + (1 - alpha) * zz - zz_new)
                 return z_new, zz_new, y_new
 
-            z, zz, y = jax.lax.fori_loop(0, n_steps, step, (z, zz, y))
+            # unroll to amortize while-trip overhead (the body is a handful
+            # of tiny fused ops; 8 bodies per trip measured best on v5e)
+            z, zz, y = jax.lax.fori_loop(0, n_steps, step, (z, zz, y),
+                                         unroll=8)
 
         # residuals for rho adaptation
         Az = A @ z
