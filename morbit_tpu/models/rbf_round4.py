@@ -292,10 +292,10 @@ def run_round4(
         return st2, cursor2, done | exhausted | full
 
     carry0 = (st0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    if max_points <= 8:
-        n_waves = max(1, max_points)
-        st, _, _ = jax.lax.fori_loop(
-            0, n_waves, lambda w, c: wave_body(c), carry0)
-    else:
-        st, _, _ = jax.lax.while_loop(lambda c: ~c[2], wave_body, carry0)
+    # Early-stopping while_loop for every budget: with the tiny-loop unrolls
+    # the per-wave body is cheap and typical acceptance runs finish in
+    # count..max_points waves, so stopping early beats the fused fixed fori
+    # that kept computing tau^2 chunks after all lanes were done (measured
+    # round 2: pass cost 5.3 -> see tools/profile_pass.py).
+    st, _, _ = jax.lax.while_loop(lambda c: ~c[2], wave_body, carry0)
     return st

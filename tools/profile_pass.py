@@ -143,6 +143,42 @@ def main():
         return (vm(one)(groups[0], s.x_s, s.l_e, s.l_i, s.fx, d, s.scal),)
     print(f"criticality (jac+LP):        {slope(crit_body)*1e3:8.2f} ms")
 
+    # update_or_improve (the main-phase double-prepare + eval + fit)
+    def uoi_body(s, groups, i):
+        keys = jax.vmap(jax.random.fold_in)(s.key, s.iter_counter + i)
+        d = s.delta * (1.0 + 1e-6 * i)
+        improve = s.last_it_stat == 4
+        return vm(lambda g, xs, xi, dd, fl, sc, k: ct.update_or_improve(
+            g, xs, xi, dd, fl, scal=sc, key=k))(
+            groups, s.x_s, s.x_indices, d, improve, s.scal, keys)
+    print(f"update_or_improve:           {slope(uoi_body)*1e3:8.2f} ms")
+
+    # trial-point phase (ladder + true eval + acceptance + stamp), chained
+    # on the full state
+    def make_trial_runner(K):
+        def f(s):
+            dvec = jnp.full((s.x_s.shape[-1],), -0.1, dtype)
+            def body(i, sc):
+                om = jnp.asarray(0.5, dtype) * (1.0 + 1e-6 * i)
+                th = jnp.asarray(0.0, dtype)
+                return jax.vmap(
+                    lambda st: solver._trial_point(st, st, th, om, dvec))(sc)
+            return jax.lax.fori_loop(0, K, body, s)
+        return jax.jit(f)
+
+    import time as _t
+    def timed(f):
+        out = f(state)
+        jax.block_until_ready(out.x)
+        t0 = _t.perf_counter()
+        for _ in range(5):
+            out = f(state)
+        jax.block_until_ready(out.x)
+        return (_t.perf_counter() - t0) / 5
+
+    t_lo, t_hi = timed(make_trial_runner(1)), timed(make_trial_runner(9))
+    print(f"trial phase:                 {(t_hi-t_lo)/8*1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
