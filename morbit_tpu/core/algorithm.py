@@ -130,8 +130,11 @@ class Solver:
         self.dtype = dtype
         ac = self.ac
 
-        lb = jnp.asarray(mop.lb, dtype)
-        ub = jnp.asarray(mop.ub, dtype)
+        # static numpy bounds: Solver may be constructed INSIDE a trace
+        # (parametric_multistart), where jnp constants become tracers and
+        # would break the scaler's static finiteness dispatch
+        lb = np.asarray(mop.lb, jnp.dtype(dtype).type)
+        ub = np.asarray(mop.ub, jnp.dtype(dtype).type)
         all_finite = bool(np.all(np.isfinite(mop.lb)) and np.all(np.isfinite(mop.ub)))
         if ac.var_scaler == "auto" and not all_finite and x0_hint is not None:
             # finite-difference/autodiff Jacobian scaling estimation

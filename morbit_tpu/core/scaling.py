@@ -160,9 +160,13 @@ def get_var_scaler(lb, ub, mode: str = "default") -> VarScaler:
     Jacobian estimation branch for unbounded problems falls back to no
     scaling here; see ``_estimate_linear_scaling``, to be driven host-side.)
     """
+    # finiteness is static metadata: decide on the HOST values before any
+    # jnp conversion (inside a trace, jnp.asarray yields a tracer and the
+    # decision must not depend on traced data — hit by parametric_multistart,
+    # which constructs the Solver inside the traced solve)
+    finite = bool(np.all(np.isfinite(np.asarray(lb))) and np.all(np.isfinite(np.asarray(ub))))
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)
-    finite = bool(np.all(np.isfinite(np.asarray(lb))) and np.all(np.isfinite(np.asarray(ub))))
     if mode in ("default", "auto") and finite:
         return unit_cube_scaling(lb, ub)
     return no_scaling(lb, ub)

@@ -64,3 +64,52 @@ def multistart_optimize(
 def default_mesh(axis: str = "batch") -> Mesh:
     devs = np.array(jax.devices())
     return Mesh(devs, (axis,))
+
+
+def parametric_multistart(
+    mop_builder,
+    x0_batch,
+    theta_batch,
+    algo_config: Optional[AlgorithmConfig] = None,
+    dtype=jnp.float32,
+    mesh: Optional[Mesh] = None,
+) -> OptimizeResult:
+    """Batch over problem *data*, not just starting points.
+
+    ``mop_builder(theta) -> MOP`` builds the problem from a parameter pytree;
+    its objective/constraint closures may capture ``theta`` (a tracer here),
+    so one compiled program solves a different problem instance per batch row
+    — the TPU-native analogue of the reference benchmark harness's
+    problem-grid rows (``examples/large_scale_benchmarks.jl:69-118``,
+    SURVEY.md §2 #29) without one compile per problem. Rows of ``x0_batch``
+    (B, n) pair with rows of every leaf of ``theta_batch`` (B, ...).
+
+    Static structure (n_vars, bounds, group/output layout, configs) must not
+    depend on ``theta`` — only array values may. With ``mesh`` (1-D over
+    axis 'batch'), the batch shards across devices like
+    :func:`multistart_optimize`.
+    """
+    ac = algo_config or AlgorithmConfig()
+
+    def one(x0, theta):
+        mop = mop_builder(theta)
+        cmop = mop if isinstance(mop, CompiledMOP) else compile_mop(
+            mop, ac.combine_models)
+        solver = Solver(cmop, ac, dtype)
+        return solver.solve(x0)
+
+    x0_batch = jnp.asarray(x0_batch, dtype)
+    run = jax.vmap(one)
+    if mesh is not None:
+        in_sharding = NamedSharding(mesh, P("batch"))
+        run = jax.jit(run)
+        x0_batch = jax.device_put(
+            x0_batch, NamedSharding(mesh, P("batch", None)))
+        theta_batch = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a, dtype), in_sharding),
+            theta_batch)
+    else:
+        run = jax.jit(run)
+        theta_batch = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype), theta_batch)
+    return run(x0_batch, theta_batch)
