@@ -60,12 +60,16 @@ class RbfState(NamedTuple):
 
 
 def _masked_append(buf, count, src, src_count):
-    """Place ``src[:src_count]`` at ``buf[count:count+src_count]`` (static caps)."""
-    pos = count + jnp.arange(src.shape[0])
-    ok = jnp.arange(src.shape[0]) < src_count
-    buf = buf.at[jnp.where(ok, pos, buf.shape[0])].set(
-        jnp.where(ok, src, 0), mode="drop")
-    return buf, count + src_count
+    """Place ``src[:src_count]`` at ``buf[count:count+src_count]`` (static caps).
+
+    Gather formulation (slot j reads ``src[j - count]``): batched scatters
+    lower to slow fusions on TPU, broadcast-select is ~free at these sizes."""
+    slots = jnp.arange(buf.shape[0])
+    k = slots - count
+    take = (k >= 0) & (k < src_count)
+    sel = take[:, None] & (k[:, None] == jnp.arange(src.shape[0])[None, :])
+    vals = jnp.sum(jnp.where(sel, src[None, :], 0), axis=1).astype(buf.dtype)
+    return jnp.where(take, vals, buf), count + src_count
 
 
 class RbfOps(SurrogateOps):
@@ -338,11 +342,16 @@ class RbfOps(SurrogateOps):
             chol_pivot=jnp.asarray(self.cfg.theta_pivot_cholesky ** 2, self.dtype),
             max_candidates=min(cap, 10 * self.max_points) + n_rand,
         )
-        # append accepted db rows in database (insertion) order
+        # append accepted db rows in database (insertion) order — gather
+        # formulation: slot j takes the row whose acceptance rank lands on j
+        # (a scatter here lowered to a ~0.8 ms batched fusion on v5e;
+        # broadcast+argmax is ~free)
         acc_db = st4.accepted[:cap]
         pos = count + jnp.cumsum(acc_db.astype(jnp.int32)) - 1
-        target = jnp.where(acc_db, pos, self.cap_train)
-        idx = idx.at[target].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+        slots = jnp.arange(self.cap_train, dtype=jnp.int32)
+        match = acc_db[None, :] & (pos[None, :] == slots[:, None])  # (cap_train, cap)
+        row_for_slot = jnp.argmax(match, axis=1).astype(jnp.int32)
+        idx = jnp.where(jnp.any(match, axis=1), row_for_slot, idx)
         count = count + jnp.sum(acc_db).astype(jnp.int32)
         # accepted random points become new unevaluated database sites
         if n_rand:
