@@ -221,44 +221,57 @@ class RbfOps(SurrogateOps):
             r1_idx, r1_cnt = sel1.order, sel1.n_picked
             n_missing1 = n - r1_cnt
 
-            # ---- round 2 (computed always, masked by the skip condition ``:588``)
-            cand2 = dbm.results_in_box(db, lb2, ub2, exclude_index=ctx.x_index) & (~cand1)
-            sel2 = affinely_independent_points(
-                x, db.X, cand2, piv2, n_missing1, Y_init=sel1.Y, k_init=sel1.k)
-            delta_max = jnp.asarray(self.ac.delta_max, dt)
-            skip2 = n_missing1 == 0
-            if cfg.theta_enlarge_1 == cfg.theta_enlarge_2:
-                skip2 = skip2 | jnp.isclose(delta, delta_max)
+            # ---- round 2 (``:251-265``). With ensure_fully_linear the
+            # reference skips it unconditionally (``:588``) — and the flag is
+            # STATIC here, so the whole wider-box filter is omitted from the
+            # trace on the criticality-rebuild hot path instead of computed
+            # and masked.
             if ensure_fully_linear:
-                skip2 = jnp.asarray(True)
-            r2_cnt = jnp.where(skip2, 0, sel2.n_picked)
-            r2_idx = sel2.order
-            fl_after2 = skip2
+                r2_cnt = jnp.asarray(0, jnp.int32)
+                r2_idx = -jnp.ones((n,), jnp.int32)
+                fl_after2 = jnp.asarray(True)
+            else:
+                cand2 = dbm.results_in_box(db, lb2, ub2, exclude_index=ctx.x_index) & (~cand1)
+                sel2 = affinely_independent_points(
+                    x, db.X, cand2, piv2, n_missing1, Y_init=sel1.Y, k_init=sel1.k)
+                delta_max = jnp.asarray(self.ac.delta_max, dt)
+                skip2 = n_missing1 == 0
+                if cfg.theta_enlarge_1 == cfg.theta_enlarge_2:
+                    skip2 = skip2 | jnp.isclose(delta, delta_max)
+                r2_cnt = jnp.where(skip2, 0, sel2.n_picked)
+                r2_idx = sel2.order
+                fl_after2 = skip2
             n_missing2 = n_missing1 - r2_cnt
 
             # ---- round 3 normal proposal
             (s3, act3, ok3, fail3, covers3, n_new3) = self._round3_proposal(
                 x, dirs, dirs_count, n_missing2, max_new, lb1, ub1, piv1)
 
-            # coordinate-axis rebuild proposal (``:564-570`` + recursion ``:633``)
-            dirs_cb = jnp.eye(n, dtype=dt)
-            (s3c, act3c, ok3c, _, covers3c, n_new3c) = self._round3_proposal(
-                x, dirs_cb, jnp.asarray(n, jnp.int32), jnp.asarray(n, jnp.int32),
-                max_new, lb1, ub1, piv1)
+            if ensure_fully_linear:
+                # coordinate-axis rebuild proposal (``:564-570`` + recursion
+                # ``:633``) — only reachable when ensure_fully_linear (static)
+                dirs_cb = jnp.eye(n, dtype=dt)
+                (s3c, act3c, ok3c, _, covers3c, n_new3c) = self._round3_proposal(
+                    x, dirs_cb, jnp.asarray(n, jnp.int32),
+                    jnp.asarray(n, jnp.int32), max_new, lb1, ub1, piv1)
 
-            rebuild = jnp.asarray(ensure_fully_linear, bool) & fail3
+                rebuild = fail3
 
-            pick = lambda a, b: jnp.where(rebuild, a, b)
-            r1_cnt = pick(0, r1_cnt)
-            r2_cnt = pick(0, r2_cnt)
-            sites3 = jnp.where(rebuild, s3c, s3)
-            active3 = pick(act3c, act3)
-            ok3 = pick(ok3c, ok3)
-            n_new = pick(n_new3c, n_new3)
-            dirs = pick(dirs_cb, dirs)
-            dirs_count = pick(n, dirs_count)
-            round3_ran = jnp.where(rebuild, True, n_missing2 > 0)
-            fl3 = jnp.where(rebuild, covers3c, covers3) & jnp.all(ok3 | (~active3))
+                pick = lambda a, b: jnp.where(rebuild, a, b)
+                r1_cnt = pick(0, r1_cnt)
+                r2_cnt = pick(0, r2_cnt)
+                sites3 = jnp.where(rebuild, s3c, s3)
+                active3 = pick(act3c, act3)
+                ok3 = pick(ok3c, ok3)
+                n_new = pick(n_new3c, n_new3)
+                dirs = pick(dirs_cb, dirs)
+                dirs_count = pick(n, dirs_count)
+                round3_ran = jnp.where(rebuild, True, n_missing2 > 0)
+                fl3 = jnp.where(rebuild, covers3c, covers3) & jnp.all(ok3 | (~active3))
+            else:
+                sites3, active3, n_new = s3, act3, n_new3
+                round3_ran = n_missing2 > 0
+                fl3 = covers3 & jnp.all(ok3 | (~act3))
             fully_linear = jnp.where(
                 round3_ran, fl3 & (r2_cnt == 0), fl_after2)
         else:

@@ -1,16 +1,18 @@
 """Capture a jax.profiler trace of the bench solve and print top device ops.
 
-Uses tensorboard_plugin_profile's converters to aggregate per-op device
-times from the xplane protobuf — op-level attribution for the remaining
-per-iteration cost.
+Parses the xplane protobuf directly via tensorflow's tsl proto (the
+tensorboard_plugin_profile converters are incompatible with this TF build)
+and aggregates per-op device durations. NOTE: events nest (while-loop ops
+include their children) and async copies may overlap compute — read the
+leaf fusions/copies, not the loop totals.
 
-Run:  python tools/profile_trace.py
+Run:  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/profile_trace.py
 """
 
 import glob
-import json
 import pathlib
 import sys
+from collections import defaultdict
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -23,7 +25,7 @@ from morbit_tpu.parallel.multistart import build_solver
 from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
 
 
-def main():
+def capture(trace_dir="/tmp/jaxtrace"):
     B = 1024
     dtype = jnp.float32
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
@@ -34,40 +36,37 @@ def main():
     run = jax.jit(jax.vmap(solver.solve))
     out = run(x0)
     jax.block_until_ready(out.x)
-
-    trace_dir = "/tmp/jaxtrace"
     with jax.profiler.trace(trace_dir):
         out = run(x0)
         jax.block_until_ready(out.x)
+    return trace_dir
 
-    xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", xplanes, file=sys.stderr)
-    if not xplanes:
-        print("no xplane captured — tracing unsupported on this backend?")
-        return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+def report(trace_dir, top=35):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = rttd.xspace_to_tool_data([xplanes[-1]], "framework_op_stats^",
-                                       {"tqx": "out:json;"})
-    tbl = json.loads(data)
-    rows = tbl["table"]["rows"] if "table" in tbl else tbl["rows"]
-    cols = [c["label"] for c in (tbl["table"]["cols"] if "table" in tbl
-                                 else tbl["cols"])]
-    print("columns:", cols, file=sys.stderr)
-    i_name = cols.index("Type") if "Type" in cols else 0
-    # find a self-time column
-    cand = [i for i, c in enumerate(cols) if "self" in c.lower()]
-    i_time = cand[0] if cand else 1
-    agg = {}
-    for r in rows:
-        c = r["c"]
-        name = str(c[i_name]["v"])
-        t = float(c[i_time]["v"] or 0)
-        agg[name] = agg.get(name, 0.0) + t
-    for name, t in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{t:14.1f}  {name}")
+    path = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))[-1]
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(path, "rb").read())
+    for plane in xs.planes:
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
+        agg = defaultdict(float)
+        cnt = defaultdict(int)
+        total = 0.0
+        for line in plane.lines:
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps / 1e9
+                agg[name] += dur
+                cnt[name] += 1
+                total += dur
+        if total == 0:
+            continue
+        print(f"== plane {plane.name}: total {total:.1f} ms over "
+              f"{sum(cnt.values())} events")
+        for name, t in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{t:10.2f} ms  x{cnt[name]:6d}  {name[:110]}")
 
 
 if __name__ == "__main__":
-    main()
+    report(capture())
