@@ -96,13 +96,19 @@ class TaylorConfig:
     mode: str = "fd"
     fd_stamp: str = "cfd1"
     fd_stepsize: float = 0.001  # matches RFD CFDStamp default grid scaling
+    # Hessian construction for degree 2: 'compose' = FD-of-FD recursion
+    # (the reference's behavior — RecursiveFiniteDifferences builds only
+    # order-1 stamps); 'cfd2'/'cfd2_4' = direct second-derivative stamp on
+    # the diagonal (extension: tighter stencil, fewer sites)
+    hess_stamp: str = "compose"
     max_evals: int = 2 ** 31 - 1
 
     def __post_init__(self):
         assert 1 <= self.degree <= 2
         assert self.mode in ("fd", "callback")
-        from morbit_tpu.models.taylor import STAMPS
+        from morbit_tpu.models.taylor import STAMPS, STAMPS2
         assert self.fd_stamp in STAMPS
+        assert self.hess_stamp == "compose" or self.hess_stamp in STAMPS2
 
     @property
     def combinable(self) -> bool:

@@ -56,11 +56,27 @@ STAMPS = {
 }
 
 
-def _build_stencil(n: int, degree: int, stamp: str):
+# Direct second-derivative stamps for the Hessian DIAGONAL (an extension
+# beyond the reference, whose RecursiveFiniteDifferences constructs only
+# order-1 stamps, ``RecursiveFiniteDifferences.jl:73-182``): d2f/dx_i^2 ~
+# sum c_a f(x + h g_a e_i) / h^2. Mixed partials keep the first-order
+# tensor-product recursion (identical sites either way); the direct
+# diagonal uses +-1h instead of the composed +-2h — fewer sites, O(h^2)
+# accuracy on a tighter stencil.
+STAMPS2 = {
+    "cfd2": (np.array([-1, 0, 1]), np.array([1.0, -2.0, 1.0])),           # CFD(2,2)
+    "cfd2_4": (np.arange(-2, 3),
+               np.array([-1 / 12, 4 / 3, -5 / 2, 4 / 3, -1 / 12])),       # CFD(2,4)
+}
+
+
+def _build_stencil(n: int, degree: int, stamp: str, hess_stamp: str = "compose"):
     """Static stencil: unique integer offset rows O (S, n), gradient
     coefficients G (n, S), Hessian coefficients H (n, n, S) (or None).
 
-    Hessian-of-FD recursion: H_ij = sum_a sum_b c_a c_b f(x + h(g_a e_i + g_b e_j)).
+    Hessian-of-FD recursion: H_ij = sum_a sum_b c_a c_b f(x + h(g_a e_i + g_b e_j));
+    with ``hess_stamp`` in :data:`STAMPS2`, the diagonal uses the direct
+    second-derivative stamp instead.
     """
     grid, coef = STAMPS[stamp]
     offsets = {}
@@ -84,8 +100,19 @@ def _build_stencil(n: int, degree: int, stamp: str):
 
     H_entries = []
     if degree >= 2:
+        direct = hess_stamp != "compose"
+        if direct:
+            grid2, coef2 = STAMPS2[hess_stamp]
         for i in range(n):
             for j in range(n):
+                if direct and i == j:
+                    for a, ca in zip(grid2, coef2):
+                        if ca == 0.0:
+                            continue
+                        off = [0] * n
+                        off[i] = int(a)
+                        H_entries.append((i, i, site_id(tuple(off)), ca))
+                    continue
                 for (a, ca), (b, cb) in itertools.product(zip(grid, coef), repeat=2):
                     c = ca * cb
                     if c == 0.0:
@@ -124,7 +151,8 @@ class TaylorOps(SurrogateOps):
         cfg = self.cfg
         self.degree = cfg.degree
         if cfg.mode == "fd":
-            O, G, H = _build_stencil(n_vars, cfg.degree, cfg.fd_stamp)
+            O, G, H = _build_stencil(n_vars, cfg.degree, cfg.fd_stamp,
+                                     getattr(cfg, "hess_stamp", "compose"))
             self.O = O
             self.G = G
             self.Hc = H

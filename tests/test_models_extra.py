@@ -167,3 +167,55 @@ def test_lagrange_stamp_persistence(tmp_path):
     f.unlink()
     pts3, _ = ops2._static_stamp()
     np.testing.assert_array_equal(pts1, pts3)
+
+
+def test_taylor_direct_second_order_stamp():
+    """hess_stamp='cfd2' (direct diagonal second-derivative stamp — an
+    extension beyond the reference's order-1-only stamps,
+    ``RecursiveFiniteDifferences.jl:73-182``): exact on quadratics, fewer
+    stencil sites than the FD-of-FD composition, and matching autodiff on a
+    smooth function."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from morbit_tpu.models.taylor import _build_stencil
+
+    n = 3
+    O_c, G_c, H_c = _build_stencil(n, 2, "cfd1", "compose")
+    O_d, G_d, H_d = _build_stencil(n, 2, "cfd1", "cfd2")
+    assert O_d.shape[0] < O_c.shape[0]  # tighter stencil
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(n, n)); A = A + A.T
+    b = rng.normal(size=n)
+    f = lambda X: 0.5 * np.einsum("si,ij,sj->s", X, A, X) + X @ b
+    h = 1e-3
+    x0 = rng.normal(size=n)
+
+    for O, H in ((O_c, H_c), (O_d, H_d)):
+        Y = f(x0[None, :] + h * O)
+        Hest = np.einsum("ijs,s->ij", H, Y) / h ** 2
+        np.testing.assert_allclose(Hest, A, atol=1e-5)
+
+    # end-to-end through a Taylor model on a smooth non-quadratic
+    from morbit_tpu.core.config import AlgorithmConfig
+    from morbit_tpu.core.mop import MOP, compile_mop
+    from morbit_tpu.core.algorithm import Solver
+    from morbit_tpu.models.configs import TaylorConfig
+
+    mop = MOP([-2.0, -2.0], [2.0, 2.0])
+    fn = lambda x: (jnp.exp(0.3 * x[0]) + jnp.sin(x[1]) + x[0] * x[1])[None]
+    mop.add_objective(fn, model_cfg=TaylorConfig(degree=2, hess_stamp="cfd2"))
+    mop.add_objective(lambda x: jnp.sum(x ** 2)[None],
+                      model_cfg=TaylorConfig(degree=2, hess_stamp="cfd2"))
+    solver = Solver(compile_mop(mop), AlgorithmConfig(max_iter=2), jnp.float64)
+    st = solver.initialize(jnp.asarray([0.3, -0.4]))
+    ops = solver.container.ops[0]
+    model = st.groups[0].model
+    H = model.H[0]
+    x_s = st.x_s
+    import morbit_tpu.core.scaling as sc
+    f_scaled = lambda xs: fn(sc.untransform(st.scal, xs))[0]
+    H_true = jax.hessian(f_scaled)(x_s)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_true), atol=1e-4)
