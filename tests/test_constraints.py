@@ -183,3 +183,20 @@ def test_constrained_big_delta_end_to_end():
     x = np.asarray(res.x)
     assert x.sum() <= 0.5 + 1e-6
     assert np.all(np.isfinite(x))
+
+
+def test_restoration_fails_acceptably_infeasible_exit():
+    """A structurally infeasible NL constraint (``x0^2 + 1 <= 0``): the
+    restoration PGD cannot reach theta-zero, the filter rejects the
+    restored point, and the run exits INFEASIBLE (``algorithm.jl:440-459``,
+    VERDICT weak #4: a restoration that *fails* acceptably)."""
+    from morbit_tpu import optimize
+    from morbit_tpu.core.enums import STOP_CODE
+
+    mop = _base()
+    mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) + 1.0,
+                               model_cfg=ExactConfig())
+    res = optimize(mop, [1.0, 1.0], max_iter=20)
+    assert int(res.stop_code) == STOP_CODE.INFEASIBLE
+    # the restoration left a finite iterate, not garbage
+    assert np.all(np.isfinite(np.asarray(res.x)))
