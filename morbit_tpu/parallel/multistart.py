@@ -98,18 +98,19 @@ def parametric_multistart(
         solver = Solver(cmop, ac, dtype)
         return solver.solve(x0)
 
+    def cast(a):
+        a = jnp.asarray(a)
+        # float parameter leaves follow the solve dtype; integer/bool leaves
+        # (categorical parameters) keep their dtype
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
     x0_batch = jnp.asarray(x0_batch, dtype)
-    run = jax.vmap(one)
+    theta_batch = jax.tree_util.tree_map(cast, theta_batch)
+    run = jax.jit(jax.vmap(one))
     if mesh is not None:
         in_sharding = NamedSharding(mesh, P("batch"))
-        run = jax.jit(run)
         x0_batch = jax.device_put(
             x0_batch, NamedSharding(mesh, P("batch", None)))
         theta_batch = jax.tree_util.tree_map(
-            lambda a: jax.device_put(jnp.asarray(a, dtype), in_sharding),
-            theta_batch)
-    else:
-        run = jax.jit(run)
-        theta_batch = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, dtype), theta_batch)
+            lambda a: jax.device_put(a, in_sharding), theta_batch)
     return run(x0_batch, theta_batch)
