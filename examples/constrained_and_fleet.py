@@ -3,6 +3,11 @@
 Run: python examples/constrained_and_fleet.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -4,6 +4,11 @@
 Run: python examples/example_two_parabolas.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import jax.numpy as jnp
 import numpy as np
 

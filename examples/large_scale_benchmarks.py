@@ -7,7 +7,10 @@ as one vmapped program; across a pod slice, pass a mesh to shard the batch.
 Run: python examples/large_scale_benchmarks.py [save.json]
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from morbit_tpu.parallel.benchmarks import generate_all_settings, run_benchmarks
 
