@@ -154,7 +154,19 @@ class Solver:
              for g in mop.groups if hasattr(g.cfg, "resolved_max_points")],
             default=mop.n_vars + 1,
         )
-        self.db_capacity = ac.resolved_db_capacity(mop.n_vars, max_model_pts)
+        # per-iteration NEW-site bound: Taylor inserts a full stencil per
+        # accepted move, Lagrange up to p poised points (round-2 review
+        # finding: the RBF-shaped heuristic silently truncated Taylor
+        # stencils under use_db=False)
+        from morbit_tpu.models.configs import LagrangeConfig as _LC
+        from morbit_tpu.models.configs import TaylorConfig as _TC
+        sites_per_iter = max(
+            [g.cfg.resolved_max_points(mop.n_vars)
+             for g in mop.groups if isinstance(g.cfg, (_TC, _LC))],
+            default=0,
+        )
+        self.db_capacity = ac.resolved_db_capacity(mop.n_vars, max_model_pts,
+                                                   sites_per_iter)
         self.container = SurrogateContainer(mop, dtype, ac, self.scal,
                                             self.db_capacity,
                                             log_level=self.log_level)
@@ -716,9 +728,6 @@ class Solver:
             l_i = jnp.asarray(self.mop.A_ineq, dtype) @ xi - jnp.asarray(self.mop.b_ineq, dtype)
             return l_e, l_i, c_e, c_i
 
-        def theta_of(xi):
-            return flt.compute_constraint_val(*true_constraints(xi))
-
         # smooth merit: squared hinge violations (differentiable a.e.)
         def merit(xi):
             l_e, l_i, c_e, c_i = true_constraints(xi)
@@ -735,18 +744,22 @@ class Solver:
         # budget (``algorithm.jl:370-384``): when ``max_restoration_evals > 0``
         # it caps the solve and evals are NOT counted (``dont_count!``);
         # otherwise the cap is min(500*n_vars, remaining budget of every
-        # nl-constraint function) and the actual solver evals count.
+        # nl-constraint function) and the actual solver evals count. Each
+        # descent iteration performs TWO true-constraint passes (one
+        # gradient pass at the iterate, one candidate evaluation), so the
+        # eval cap maps to ``cap // 2`` iterations.
         if ac.max_restoration_evals > 0:
-            cap = jnp.asarray(ac.max_restoration_evals, jnp.int32)
+            ev_cap = jnp.asarray(ac.max_restoration_evals, jnp.int32)
         else:
-            cap = jnp.asarray(500 * self.mop.n_vars, jnp.int32)
+            ev_cap = jnp.asarray(500 * self.mop.n_vars, jnp.int32)
             for g, st in zip(self.mop.groups, state.groups):
                 roles = {mb.role for mb in g.members}
                 if "nl_eq" in roles or "nl_ineq" in roles:
                     gmax = min(ac.max_evals, g.max_evals, 2 ** 31 - 1)
-                    cap = jnp.minimum(
-                        cap, jnp.asarray(gmax, jnp.int32) - st.n_evals)
-            cap = jnp.maximum(cap, 0)
+                    ev_cap = jnp.minimum(
+                        ev_cap, jnp.asarray(gmax, jnp.int32) - st.n_evals)
+            ev_cap = jnp.maximum(ev_cap, 0)
+        cap = ev_cap // 2
 
         # ``stopval = _zero_for_constraints(theta_k)`` (``algorithm.jl:368``,
         # ``utilities.jl:335-338``): exit as soon as a theta-zero point is
@@ -759,14 +772,22 @@ class Solver:
             i, xi, m_cur, sc, x_best, t_best, done = carry
             return (~done) & (i < cap) & jnp.asarray(active)
 
+        def merit_and_theta(xi):
+            """One true-constraint pass serving both the line-search merit
+            and the theta bookkeeping (a separate call each would double
+            the counted work)."""
+            l_e, l_i, c_e, c_i = true_constraints(xi)
+            m = (jnp.sum(c_e ** 2) + jnp.sum(jnp.maximum(c_i, 0.0) ** 2)
+                 + jnp.sum(l_e ** 2) + jnp.sum(jnp.maximum(l_i, 0.0) ** 2))
+            return m, flt.compute_constraint_val(l_e, l_i, c_e, c_i)
+
         def gd_body(carry):
             i, xi, m_cur, sc, x_best, t_best, done = carry
             g = grad(xi)
             gn = jnp.max(jnp.abs(g))
             step = jnp.where(gn > 0, sc * jnp.min(width) / gn, 0.0)
             xi_n = project_into_box(xi - step * g, lb, ub)
-            m_n = merit(xi_n)
-            t_n = theta_of(xi_n)
+            m_n, t_n = merit_and_theta(xi_n)
             improved = m_n < m_cur
             xi = jnp.where(improved, xi_n, xi)
             m_cur = jnp.where(improved, m_n, m_cur)
@@ -777,22 +798,24 @@ class Solver:
             done = (t_best <= stopval) | (sc < 1e-10)
             return i + 1, xi, m_cur, sc, x_best, t_best, done
 
-        t0 = theta_of(xi0)
+        m0, t0 = merit_and_theta(xi0)
         i_used, _, _, _, x_r, theta_r, _ = jax.lax.while_loop(
             gd_cond, gd_body,
-            (jnp.asarray(0, jnp.int32), xi0, merit(xi0),
+            (jnp.asarray(0, jnp.int32), xi0, m0,
              jnp.asarray(0.1, dtype), xi0, t0, t0 <= stopval))
 
-        # count the actual restoration evaluations on nl-constraint groups
-        # (one candidate tested per descent iteration, like the reference's
-        # per-iterate COBYLA counting; suspended when max_restoration_evals>0)
+        # count the actual restoration true-constraint passes on
+        # nl-constraint groups: two per descent iteration (gradient pass +
+        # candidate evaluation), matching the work the solver really did —
+        # like the reference's CountedFunc counting every COBYLA objective
+        # call; suspended when max_restoration_evals > 0
         groups = state.groups
         if ac.max_restoration_evals <= 0:
             new_groups = []
             for g, st in zip(self.mop.groups, groups):
                 roles = {mb.role for mb in g.members}
                 if "nl_eq" in roles or "nl_ineq" in roles:
-                    st = st._replace(n_evals=st.n_evals + i_used)
+                    st = st._replace(n_evals=st.n_evals + 2 * i_used)
                 new_groups.append(st)
             groups = tuple(new_groups)
             state = state._replace(groups=groups)

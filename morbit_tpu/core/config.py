@@ -109,17 +109,29 @@ class AlgorithmConfig:
     # trajectory ring buffer length (IterSaveable stamps); <=0 -> max_iter+2
     trajectory_capacity: int = -1
 
-    def resolved_db_capacity(self, n_vars: int, max_model_points: int) -> int:
+    def resolved_db_capacity(self, n_vars: int, max_model_points: int,
+                             sites_per_iter: int = 0) -> int:
+        """Database row capacity heuristic.
+
+        ``max_model_points`` is the largest per-rebuild working set of any
+        group (RBF ``(n+1)(n+2)/2``, Taylor stencil size, Lagrange poised-set
+        size — each config's ``resolved_max_points``). ``sites_per_iter``
+        bounds how many NEW sites a group may insert per iteration (Taylor
+        adds a full stencil on every accepted move, Lagrange may add up to p
+        poised points; the RBF rounds add <= ~2n, covered by the base term).
+        """
         if self.db_capacity > 0:
             return self.db_capacity
         if not self.use_db:
             # per-iteration working set only: the iterate + trial + model
             # sites for the initial build and every criticality rebuild
-            return (3 + self.max_critical_loops) * max_model_points + 8
+            return ((3 + self.max_critical_loops) * max_model_points
+                    + 2 * sites_per_iter + 8)
         # enough room for: initial point + per-iteration trial point +
         # per-iteration model construction sites (round 3 adds <= n sites,
         # criticality loops can rebuild several times per iteration).
-        per_iter = 2 * n_vars + 4 + (2 + self.max_critical_loops)
+        per_iter = (max(2 * n_vars, sites_per_iter) + 4
+                    + (2 + self.max_critical_loops))
         cap = 1 + self.max_iter * per_iter + max_model_points
         if self.max_evals < 2 ** 30:
             cap = min(cap, int(self.max_evals) + max_model_points + self.max_iter + 8)

@@ -262,8 +262,13 @@ def initial_stepsize(x, x_n, d, delta, lb, ub, dtype,
     if con_vals is not None and con_vals.shape[0] > 0:
         s = _crossing_sigmas(con_vals, con_rhs, con_dirs, sense_lb=False)
         nonneg = s >= 0
+        # rows never crossed along the ray (all sigmas negative: the
+        # direction moves AWAY from every constraint) impose no cap — the
+        # reference folds box and constraint rows into one positive-minimum
+        # (``_intersect_bounds``, ``utilities.jl:156-281``), so the
+        # constraint-subset fallback is +inf, not 0
         sigma_con = jnp.where(jnp.any(nonneg),
-                              jnp.min(jnp.where(nonneg, s, jnp.inf)), 0.0)
+                              jnp.min(jnp.where(nonneg, s, jnp.inf)), jnp.inf)
         sigma_box = jnp.minimum(sigma_box, sigma_con)
     sigma_big = jnp.where(
         jnp.isclose(norm_d, 1.0), sigma_box, jnp.asarray(1.0, dtype))

@@ -114,6 +114,20 @@ class TaylorConfig:
     def combinable(self) -> bool:
         return self.mode == "fd"
 
+    def resolved_max_points(self, n_vars: int) -> int:
+        """Stencil site count — the per-rebuild database working set. Used
+        by the database-capacity heuristic (``resolved_db_capacity``); a
+        degree-2 FD stencil needs ~2 n^2 sites, far more than the RBF
+        ``(n+1)(n+2)/2`` bound the heuristic previously assumed for every
+        model family (round-2 review finding: Taylor fits silently
+        truncated under ``use_db=False``)."""
+        if self.mode != "fd":
+            return 1
+        from morbit_tpu.models.taylor import _build_stencil
+        O, _, _ = _build_stencil(n_vars, self.degree, self.fd_stamp,
+                                 self.hess_stamp)
+        return int(O.shape[0])
+
 
 @dataclasses.dataclass(frozen=True)
 class LagrangeConfig:
@@ -150,6 +164,13 @@ class LagrangeConfig:
     @property
     def combinable(self) -> bool:
         return True
+
+    def resolved_max_points(self, n_vars: int) -> int:
+        """Poised-set size p — the per-rebuild database working set
+        (database-capacity heuristic; see :meth:`TaylorConfig.resolved_max_points`)."""
+        if self.degree == 1:
+            return n_vars + 1
+        return (n_vars + 1) * (n_vars + 2) // 2
 
 
 SurrogateConfig = Union[ExactConfig, RbfConfig, TaylorConfig, LagrangeConfig]

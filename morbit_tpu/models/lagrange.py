@@ -138,9 +138,12 @@ class LagrangeOps(SurrogateOps):
         import pathlib
 
         c = self.cfg
+        # the construction precision is part of the identity: an f32-built
+        # stamp must not be silently reused by f64 parity runs
+        prec = 64 if jax.config.jax_enable_x64 else 32
         name = (f"lagrange_stamp_n{self.n_vars}_d{c.degree}"
                 f"_lam{c.lambda_poise:g}_r{c.ascent_restarts}"
-                f"_i{c.ascent_iters}.npz")
+                f"_i{c.ascent_iters}_f{prec}.npz")
         return pathlib.Path(c.save_path) / name
 
     def _static_stamp(self):
@@ -153,7 +156,8 @@ class LagrangeOps(SurrogateOps):
         import numpy as np
 
         key = (self.n_vars, self.cfg.degree, self.cfg.lambda_poise,
-               self.cfg.ascent_restarts, self.cfg.ascent_iters)
+               self.cfg.ascent_restarts, self.cfg.ascent_iters,
+               bool(jax.config.jax_enable_x64), self.cfg.save_path)
         if key in LagrangeOps._stamp_cache:
             return LagrangeOps._stamp_cache[key]
 

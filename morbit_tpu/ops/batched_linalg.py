@@ -59,11 +59,18 @@ def gj_inverse(A: jax.Array) -> jax.Array:
     return gj_solve(A, jnp.eye(A.shape[0], dtype=A.dtype))
 
 
+#: unrolled solves win below this size; above it the O(k^3)-op unrolled
+#: graph blows up trace/compile size and XLA's batched LU amortizes
+#: (the v5e measurements cover k <= 16; ZDT n=15 RBF KKTs reach k=151)
+GJ_MAX_K = 24
+
+
 def solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Dtype dispatch: unrolled Gauss-Jordan at <= 32-bit (TPU perf path),
-    ``jnp.linalg.solve`` at float64 (keeps CPU parity/golden trajectories
-    bit-identical to round 1)."""
-    if jnp.finfo(A.dtype).bits <= 32:
+    """Size + dtype dispatch: unrolled Gauss-Jordan for tiny systems at
+    <= 32-bit (TPU perf path), ``jnp.linalg.solve`` otherwise (float64 keeps
+    CPU parity/golden trajectories bit-identical to round 1; large k avoids
+    the unrolled-graph compile blowup)."""
+    if jnp.finfo(A.dtype).bits <= 32 and A.shape[-1] <= GJ_MAX_K:
         return gj_solve(A, b)
     if b.ndim == 1:
         return jnp.linalg.solve(A, b[:, None])[:, 0]

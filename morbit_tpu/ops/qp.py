@@ -100,14 +100,17 @@ def solve_qp(
     # unrolled tiny-k factorizations at <= 32-bit (XLA's batched
     # cholesky/triangular-solve lowerings cost ~1 ms at (1024, 9, 9) on v5e;
     # the unrolled ops fuse to ~us — tools/profile_linalg.py); float64 keeps
-    # jnp.linalg for bit-stability with the round-1 golden trajectories
-    from morbit_tpu.ops.batched_linalg import chol_factor, chol_solve
+    # jnp.linalg for bit-stability with the round-1 golden trajectories, and
+    # large n falls back too (unrolled-graph compile blowup)
+    from morbit_tpu.ops.batched_linalg import GJ_MAX_K, chol_factor, chol_solve
+
+    unroll_chol = f32 and n <= GJ_MAX_K
 
     def _chol(M_):
-        return chol_factor(M_) if f32 else jnp.linalg.cholesky(M_)
+        return chol_factor(M_) if unroll_chol else jnp.linalg.cholesky(M_)
 
     def _chol_solve(L_, rhs_):
-        if f32:
+        if unroll_chol:
             return chol_solve(L_, rhs_)
         return jax.scipy.linalg.cho_solve((L_, True), rhs_)
 
@@ -223,10 +226,13 @@ def _polish(P, q, A, l, u, z, y, delta: float = 1e-8, refine_steps: int = 3):
     ])
     rhs = jnp.concatenate([-q, act * b_act])
 
+    from morbit_tpu.ops.batched_linalg import GJ_MAX_K
+
     f32 = jnp.finfo(dtype).bits <= 32
-    if f32:
+    if f32 and K.shape[-1] <= 2 * GJ_MAX_K:
         # unrolled inverse once; refinement applications become matvecs
-        # (XLA's batched lu_factor costs ~2.3 ms at (1024, 9, 9) on v5e)
+        # (XLA's batched lu_factor costs ~2.3 ms at (1024, 9, 9) on v5e);
+        # size-capped — many-constraint KKTs fall back to LU
         from morbit_tpu.ops.batched_linalg import gj_inverse
 
         Kinv = gj_inverse(K)

@@ -171,6 +171,14 @@ def test_initial_stepsize_constraint_rows_cap_sigma():
         con_vals=jnp.array([0.0]), con_dirs=jnp.array([1.0]),
         con_rhs=jnp.array([7.0]))
     assert np.isclose(float(s_loose), 2.0)
+    # a direction moving AWAY from every constraint imposes no cap (all
+    # crossing sigmas negative -> +inf fallback, not 0; regression for the
+    # round-2 review finding)
+    s_away = initial_stepsize(
+        x, x, d, delta, lb, ub, jnp.float64,
+        con_vals=jnp.array([0.0]), con_dirs=jnp.array([-1.0]),
+        con_rhs=jnp.array([0.5]))
+    assert np.isclose(float(s_away), 2.0)
 
 
 def test_constrained_big_delta_end_to_end():
