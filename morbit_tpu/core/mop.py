@@ -478,7 +478,7 @@ def compile_mop(mop: MOP, combine_models: bool = True) -> CompiledMOP:
         g = groups[gi]
         groups[gi] = dataclasses.replace(
             g,
-            members=g.members + (GroupMember(can, goff, fn_global_offset[i],
+            members=g.members + (GroupMember(i, goff, fn_global_offset[i],
                                              f.n_out, f.role),),
             max_evals=min(g.max_evals, f.max_evals,
                           getattr(f.model_cfg, "max_evals", 2 ** 31 - 1)),

@@ -62,3 +62,23 @@ def trajectory_arrays(result):
         # model-provenance hook (``x_indices``, ``IterDataIterSaveable.jl:189-205``)
         "x_indices": np.asarray(traj.x_indices[:c]),
     }
+
+
+def function_eval_counts(result, cmop):
+    """Per-FUNCTION true-evaluation counters — the ``CountedFunc`` view
+    (``src/globals.jl:74-112``, ``num_evals!``).
+
+    Evaluation happens per group (one vector call covers every member), so
+    each member function's call count equals its group's counter — exactly
+    as the reference's per-function counters land when functions are
+    evaluated together; duplicate registrations (RefVecFun shares) report
+    the shared counter. Returns a list indexed like ``mop.functions``.
+    """
+    groups = result.state.groups if hasattr(result, "state") else result
+    counts = {}
+    for g in cmop.groups:
+        n = int(groups[g.index].n_evals)
+        for mb in g.members:
+            counts[mb.fn_index] = n
+    n_fns = max(counts, default=-1) + 1
+    return [counts.get(i, 0) for i in range(n_fns)]

@@ -86,3 +86,30 @@ def test_trajectory_x_indices_provenance():
         for g, st in enumerate(res.state.groups):
             row = np.asarray(st.db.X[idx[i, g]])
             assert np.allclose(row, x_s, atol=1e-10), (i, g, row, x_s)
+
+
+def test_function_eval_counts():
+    """Per-function counter view (``CountedFunc``, ``globals.jl:74-112``):
+    members of one group share the group counter; a shared callable
+    (RefVecFun) reports the shared count under both registrations."""
+    import jax.numpy as jnp
+
+    from morbit_tpu import optimize
+    from morbit_tpu.core.mop import MOP, compile_mop
+    from morbit_tpu.models.configs import ExactConfig, RbfConfig
+    from morbit_tpu.utils.logging import function_eval_counts
+
+    f = lambda x: jnp.sum((x - 1.0) ** 2)[None]
+    g = lambda x: jnp.sum((x + 1.0) ** 2)[None]
+    mop = MOP([-2.0, -2.0], [2.0, 2.0])
+    cfg = RbfConfig(kernel="cubic")
+    mop.add_objective(f, model_cfg=cfg)
+    mop.add_objective(g, model_cfg=cfg)        # same group as f
+    mop.add_objective(f, model_cfg=cfg)        # duplicate -> shared counter
+    mop.add_objective(g, model_cfg=ExactConfig())  # own group
+    cmop = compile_mop(mop)
+    res = optimize(cmop, [0.4, -0.3], max_iter=4)
+    counts = function_eval_counts(res, cmop)
+    assert len(counts) == 4
+    assert counts[0] == counts[1] == counts[2] > 0   # one combined group
+    assert counts[3] > 0                             # exact group counts too
