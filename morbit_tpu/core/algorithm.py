@@ -173,6 +173,12 @@ class Solver:
 
         self.desc_cfg = resolve_descent_config(ac.descent_method)
 
+        #: any black-box (pure_callback-bridged) user function present? When
+        #: true, speculative true evaluations at discarded points must be
+        #: runtime-gated: in unbatched solves they would otherwise physically
+        #: invoke the user's expensive host code at points the reference
+        #: never evaluates (round-2 advisor finding).
+        self._any_host = any(f.host for g in mop.groups for f in g.fns)
         self.filter_mode = "dummy" if mop.m_ce + mop.m_ci == 0 else ac.filter_type
         self.f_dim = mop.m_obj if self.filter_mode == "strict" else 1
         self.has_constraints = mop.has_nl_constraints or mop.has_lin_constraints
@@ -269,8 +275,10 @@ class Solver:
                          scal):
         """``get_criticality`` dispatch (``descent.jl:19-25``).
 
-        Returns ``(omega, payload)`` where the payload is the descent
-        direction for steepest descent, or the PS trial point."""
+        Returns ``(omega, payload, groups)`` where the payload is the descent
+        direction for steepest descent, or the PS trial point; ``groups``
+        carries the subsolver eval charges (PS only — the steepest-descent
+        LP touches surrogate Jacobians, never the counted true functions)."""
         if isinstance(self.desc_cfg, SteepestDescentConfig):
             Dm = self.container.jac_objectives(groups, x_n_s, scal)
             lin = self._linearized_constraints_at(groups, x_s, x_n_s, l_e_n,
@@ -278,7 +286,7 @@ class Solver:
             d, omega = steepest_descent_direction(
                 x_n_s, Dm, scal.lb_scaled, scal.ub_scaled, lin,
                 normalize=self.desc_cfg.normalize, qp_iters=self.ac.qp_iters)
-            return omega, d
+            return omega, d, groups
         return self._ps_criticality(groups, x_s, x_n_s, fx_n, delta, scal)
 
     def _ps_criticality(self, groups, x_s, x_n_s, fx_n, delta, scal):
@@ -288,8 +296,18 @@ class Solver:
         surrogate/linear constraints. The NLopt :GN_ISRES global stage and
         local polish are replaced by a Halton-grid sweep + monotone projected
         gradient refinement on the penalized scalarization (surrogates are
-        cheap and differentiable on device). Returns (omega = |t*|,
-        x_trial)."""
+        cheap and differentiable on device). Returns (omega = |t*|, x_trial,
+        groups).
+
+        Eval-count parity (``descent.jl:478-510``, ``:404-412``): in the
+        reference the NLopt objective is the *container* surrogate, so for
+        ``counts_on_eval`` groups (exact models) every subsolver call hits a
+        ``CountedFunc``. The grid sweep + PGA polish here perform exactly
+        the budgeted number of scalarization evaluations per solve
+        (``ps_subsolver_budgets`` — the ``_ps_max_evals`` mapping), so those
+        budgets are charged via ``charge_evals``: ``ps_grid + ps_polish`` for
+        the PS solve plus ``m_obj * (ideal_grid + ideal_polish)`` when local
+        ideal points are computed (no reference point/direction given)."""
         from morbit_tpu.core.descent import ps_subsolver_budgets
         from morbit_tpu.ops.boxopt import halton_grid, maximize_in_box
 
@@ -325,11 +343,13 @@ class Solver:
         PEN_W = jnp.asarray(1e5, dtype)
 
         # objective-space direction (``_get_global_dir`` + local ideal point)
+        charged = ps_grid_n + ps_polish
         if len(cfg.reference_direction):
             r = jnp.asarray(cfg.reference_direction, dtype)
         elif len(cfg.reference_point):
             r = fx_n - jnp.asarray(cfg.reference_point, dtype)
         else:
+            charged += self.mop.m_obj * (id_grid_n + id_polish)
             ideals = []
             for l in range(self.mop.m_obj):
                 f_l = lambda chi, l=l: -(self.container.eval_objectives_raw(
@@ -358,7 +378,8 @@ class Solver:
         bad = critical | (~feasible) | (~jnp.all(jnp.isfinite(x_best)))
         x_trial = jnp.where(bad, x_n_s, x_best)
         omega = jnp.where(bad, 0.0, jnp.abs(tau))
-        return omega, x_trial
+        groups = self.container.charge_evals(groups, charged)
+        return omega, x_trial, groups
 
     # ------------------------------------------------------------- initialization
     @_highest_matmul_precision
@@ -383,10 +404,34 @@ class Solver:
             prev = populated_db
             if isinstance(prev, OptimizeResult):
                 prev = prev.state
+            prev_scal = None
             if isinstance(prev, SolverState):
+                prev_scal = prev.scal
                 prev = prev.groups
+
+            def ingest(old_db):
+                """Re-transform an ingested database to the CURRENT scaler
+                (``algorithm.jl:286-297`` + ``Databases.jl:300``): recycling
+                into a run with different bounds/``var_scaler`` would
+                otherwise misplace every stored site. Exact scaler equality
+                short-circuits to the stored sites bit-identically (the
+                round-trip arithmetic is not a float identity, and
+                ``ensure_evaluated`` matches recycled rows by exact site
+                equality). Raw group tuples carry no scaler — their sites
+                are assumed to already be in the current scaled space."""
+                if prev_scal is None:
+                    return old_db
+                new_db = dbm.rescale(old_db, prev_scal.scale,
+                                     prev_scal.offset, self.scal.scale,
+                                     self.scal.offset)
+                same = (jnp.all(prev_scal.scale == self.scal.scale)
+                        & jnp.all(prev_scal.offset == self.scal.offset))
+                X = jnp.where(same, old_db.X, new_db.X)
+                return old_db._replace(X=X)
+
             groups = tuple(
-                fresh._replace(db=old.db) for fresh, old in zip(groups, prev))
+                fresh._replace(db=ingest(old.db))
+                for fresh, old in zip(groups, prev))
         scal = self.scal
         fx, c_e, c_i, groups, x_indices = self.container.ensure_evaluated(
             groups, x_s, scal)
@@ -641,8 +686,8 @@ class Solver:
             lambda g: self.container.set_fully_linear(g, False),
             lambda g: g, state.groups)
         x_n_s = state.x_s + jnp.where(take_n, jnp.nan_to_num(n_step), 0.0)
-        fx_n, c_e_n, c_i_n, groups3, idx_n = self.container.evaluate_true(
-            groups2, x_n_s, scal)
+        fx_n, c_e_n, c_i_n, groups3, idx_n = self._gated_evaluate_true(
+            groups2, x_n_s, scal, state, active=take_n)
         l_e_n, l_i_n = self._linear_values(x_n_s, scal)
         state_b = state._replace(
             groups=groups3, delta=jnp.where(changed, delta_n, state.delta))
@@ -665,6 +710,32 @@ class Solver:
         return jax.tree_util.tree_map(
             lambda o, m: jnp.where(need_normal & (~compatible_raw), o, m),
             out_other, out_main)
+
+    def _gated_evaluate_true(self, groups, x_s, scal, state: SolverState,
+                             active):
+        """``container.evaluate_true`` that physically runs only when
+        ``active`` — used for speculative candidate evaluations whose results
+        are selected away on inactive lanes. Only gated (0/1-trip
+        ``while_loop``) when a host=True black-box function exists: in
+        unbatched solves the gate prevents real user-code calls at discarded
+        points (the reference's ``lax.cond``-analogous skip); for pure-JAX
+        problems the straight-line call is cheaper on TPU (while-loop
+        boundaries pay alternate-memory copy stalls — CLAUDE.md perf
+        notes)."""
+        if not self._any_host:
+            return self.container.evaluate_true(groups, x_s, scal)
+
+        def body(carry):
+            _, fx, c_e, c_i, g, idx = carry
+            fx, c_e, c_i, g, idx = self.container.evaluate_true(
+                groups, x_s, scal)
+            return (jnp.asarray(False), fx, c_e, c_i, g, idx)
+
+        init = (jnp.asarray(active), state.fx, state.c_e, state.c_i, groups,
+                state.x_indices)
+        _, fx, c_e, c_i, g, idx = jax.lax.while_loop(
+            lambda c: c[0], body, init)
+        return fx, c_e, c_i, g, idx
 
     def _incompatible_path(self, state: SolverState, theta_k, n_step,
                            feasible, active) -> SolverState:
@@ -720,12 +791,89 @@ class Solver:
         ub = jnp.asarray(self.mop.ub, dtype)
         x = state.x
 
-        def true_constraints(xi):
-            """True constraint blocks at an unscaled site (incl. composites)."""
-            group_vals = [g.eval_unscaled(xi) for g in self.mop.groups]
-            _, c_e, c_i = self.mop.scatter_role_vectors(group_vals, dtype, xi)
+        # groups feeding nonlinear constraints (directly or through a
+        # composite): the reference's restoration objective is constraint
+        # violation ONLY (``algorithm.jl:355-362``) — objective groups are
+        # never touched here
+        con_roles = ("nl_eq", "nl_ineq")
+        need_groups = {g.index for g in self.mop.groups
+                       if any(mb.role in con_roles for mb in g.members)}
+        con_comps = [cs for cs in self.mop.composites if cs.role in con_roles]
+        need_groups |= {cs.group_index for cs in con_comps}
+
+        def true_constraints(xi, want_jac=False):
+            """True constraint blocks (and optionally their Jacobians) at an
+            unscaled site, evaluating only constraint-relevant groups."""
+            m_ce, m_ci, n = self.mop.m_ce, self.mop.m_ci, self.mop.n_vars
+            c_e = jnp.zeros((m_ce,), dtype)
+            c_i = jnp.zeros((m_ci,), dtype)
+            J_e = jnp.zeros((m_ce, n), dtype)
+            J_i = jnp.zeros((m_ci, n), dtype)
+            vals, jacs = {}, {}
+            for gi in sorted(need_groups):
+                g = self.mop.groups[gi]
+                vals[gi] = g.eval_unscaled(xi)
+                if want_jac:
+                    # host black-boxes get FD Jacobians inside
+                    # ``VecFun.jacobian`` (``FiniteDiffWrapper`` analogue)
+                    jacs[gi] = g.jac_unscaled(xi)
+            for g in self.mop.groups:
+                for mb in g.members:
+                    if mb.role not in con_roles:
+                        continue
+                    tgt_v, tgt_J = ((c_e, J_e) if mb.role == "nl_eq"
+                                    else (c_i, J_i))
+                    part_v = vals[g.index][mb.group_offset:
+                                           mb.group_offset + mb.n_out]
+                    new_v = tgt_v.at[mb.global_offset:
+                                     mb.global_offset + mb.n_out].set(part_v)
+                    if mb.role == "nl_eq":
+                        c_e = new_v
+                    else:
+                        c_i = new_v
+                    if want_jac:
+                        part_J = jacs[g.index][mb.group_offset:
+                                               mb.group_offset + mb.n_out]
+                        new_J = tgt_J.at[mb.global_offset:
+                                         mb.global_offset + mb.n_out].set(part_J)
+                        if mb.role == "nl_eq":
+                            J_e = new_J
+                        else:
+                            J_i = new_J
+            for cs in con_comps:
+                inner = vals[cs.group_index][cs.group_offset:
+                                             cs.group_offset + cs.width]
+                part_v = jnp.atleast_1d(
+                    jnp.asarray(cs.outer(xi, inner))).astype(dtype)
+                if cs.role == "nl_eq":
+                    c_e = c_e.at[cs.global_offset:
+                                 cs.global_offset + cs.n_out].set(part_v)
+                else:
+                    c_i = c_i.at[cs.global_offset:
+                                 cs.global_offset + cs.n_out].set(part_v)
+                if want_jac:
+                    # chain rule: d outer/dx + d outer/dg . J_inner
+                    Jx = jnp.reshape(jax.jacfwd(
+                        lambda xq: jnp.atleast_1d(jnp.asarray(
+                            cs.outer(xq, inner))).astype(dtype))(xi),
+                        (cs.n_out, n))
+                    Jg = jnp.reshape(jax.jacfwd(
+                        lambda gq: jnp.atleast_1d(jnp.asarray(
+                            cs.outer(xi, gq))).astype(dtype))(inner),
+                        (cs.n_out, cs.width))
+                    J_in = jacs[cs.group_index][cs.group_offset:
+                                                cs.group_offset + cs.width]
+                    part_J = Jx + Jg @ J_in
+                    if cs.role == "nl_eq":
+                        J_e = J_e.at[cs.global_offset:
+                                     cs.global_offset + cs.n_out].set(part_J)
+                    else:
+                        J_i = J_i.at[cs.global_offset:
+                                     cs.global_offset + cs.n_out].set(part_J)
             l_e = jnp.asarray(self.mop.A_eq, dtype) @ xi - jnp.asarray(self.mop.b_eq, dtype)
             l_i = jnp.asarray(self.mop.A_ineq, dtype) @ xi - jnp.asarray(self.mop.b_ineq, dtype)
+            if want_jac:
+                return (l_e, l_i, c_e, c_i), (J_e, J_i)
             return l_e, l_i, c_e, c_i
 
         # smooth merit: squared hinge violations (differentiable a.e.)
@@ -738,7 +886,21 @@ class Solver:
                        jnp.nan_to_num(r_guess) / jnp.maximum(state.scal.scale, 1e-30))
         xi0 = project_into_box(x + r0, lb, ub)
 
-        grad = jax.grad(merit)
+        if self._any_host:
+            # ``jax.grad`` cannot differentiate through ``pure_callback``;
+            # assemble the merit gradient from the scattered constraint
+            # Jacobians instead (host functions FD inside VecFun.jacobian):
+            # grad = 2 (J_e' c_e + J_i' max(c_i,0) + A_eq' l_e + A_ineq' max(l_i,0))
+            A_eq = jnp.asarray(self.mop.A_eq, dtype)
+            A_ineq = jnp.asarray(self.mop.A_ineq, dtype)
+
+            def grad(xi):
+                (l_e, l_i, c_e, c_i), (J_e, J_i) = true_constraints(
+                    xi, want_jac=True)
+                return 2.0 * (J_e.T @ c_e + J_i.T @ jnp.maximum(c_i, 0.0)
+                              + A_eq.T @ l_e + A_ineq.T @ jnp.maximum(l_i, 0.0))
+        else:
+            grad = jax.grad(merit)
         width = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
 
         # budget (``algorithm.jl:370-384``): when ``max_restoration_evals > 0``
@@ -759,7 +921,13 @@ class Solver:
                     ev_cap = jnp.minimum(
                         ev_cap, jnp.asarray(gmax, jnp.int32) - st.n_evals)
             ev_cap = jnp.maximum(ev_cap, 0)
-        cap = ev_cap // 2
+        # chosen counting semantics (documented vs the reference's
+        # derivative-free per-candidate counting): each descent iteration
+        # performs TWO true-constraint passes, so the eval cap maps to
+        # ``cap // 2`` iterations — floored at 1 whenever the reference's
+        # COBYLA would still get its single objective call (ev_cap >= 1),
+        # so a remaining budget of 1 does not silently disable restoration
+        cap = jnp.where(ev_cap >= 1, jnp.maximum(ev_cap // 2, 1), 0)
 
         # ``stopval = _zero_for_constraints(theta_k)`` (``algorithm.jl:368``,
         # ``utilities.jl:335-338``): exit as soon as a theta-zero point is
@@ -798,7 +966,19 @@ class Solver:
             done = (t_best <= stopval) | (sc < 1e-10)
             return i + 1, xi, m_cur, sc, x_best, t_best, done
 
-        m0, t0 = merit_and_theta(xi0)
+        if self._any_host:
+            # gate the pre-loop merit pass: inactive lanes (and unbatched
+            # non-restoring runs) must not invoke host black-box constraints
+            def mt_body(c):
+                _, m, t = c
+                m, t = merit_and_theta(xi0)
+                return (jnp.asarray(False), m, t)
+
+            big = jnp.asarray(jnp.inf, dtype)
+            _, m0, t0 = jax.lax.while_loop(
+                lambda c: c[0], mt_body, (jnp.asarray(active), big, big))
+        else:
+            m0, t0 = merit_and_theta(xi0)
         i_used, _, _, _, x_r, theta_r, _ = jax.lax.while_loop(
             gd_cond, gd_body,
             (jnp.asarray(0, jnp.int32), xi0, m0,
@@ -828,8 +1008,8 @@ class Solver:
                 a=active, i=i_used, t=theta_r)
 
         x_r_s = scaling.transform(state.scal, x_r)
-        fx_r, c_e_r, c_i_r, groups, idx_r = self.container.evaluate_true(
-            state.groups, x_r_s, state.scal)
+        fx_r, c_e_r, c_i_r, groups, idx_r = self._gated_evaluate_true(
+            state.groups, x_r_s, state.scal, state, active=jnp.asarray(active))
         l_e_r, l_i_r = self._linear_values(x_r_s, state.scal)
         acceptable = flt.is_acceptable(
             state.filter, theta_r, self._filter_objective(fx_r))
@@ -874,9 +1054,13 @@ class Solver:
         ac = self.ac
         dtype = self.dtype
 
-        omega, d = self._get_criticality(
+        omega, d, groups_c = self._get_criticality(
             inter.groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
             inter.fx, state.delta, state.scal)
+        # PS subsolver eval charges must flow into the continuing state
+        # (state_sel/inter_sel share group leaves, so this is select-safe)
+        state = state._replace(groups=groups_c)
+        inter = inter._replace(groups=groups_c)
 
         theta_n_zero = self._violation_zero(theta_n)
         theta_k_zero = self._violation_zero(theta_k)
@@ -928,7 +1112,7 @@ class Solver:
                 groups, inter.x_s, inter.x_indices, delta0,
                 ensure_fully_linear=True, scal=inter.scal,
                 key=jax.random.fold_in(inter.key, tag))
-            omega, d = self._get_criticality(
+            omega, d, groups = self._get_criticality(
                 groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
                 inter.fx, delta0, inter.scal)
             return groups, omega, d
@@ -1336,13 +1520,20 @@ def optimize(mop, x0, algo_config: Optional[AlgorithmConfig] = None,
 
     if algo_config.untransform_final_database:
         # return databases in unscaled coordinates
-        # (``untransform!(super_db, scal)``, ``algorithm.jl:952-954``)
+        # (``untransform!(super_db, scal)``, ``algorithm.jl:952-954``); the
+        # returned state's scaler becomes the identity so recycling via
+        # ``populated_db`` re-transforms the sites correctly
         ones = jnp.ones_like(state.scal.scale)
         zeros = jnp.zeros_like(state.scal.offset)
-        state = state._replace(groups=tuple(
-            st._replace(db=dbm.rescale(st.db, state.scal.scale,
-                                       state.scal.offset, ones, zeros))
-            for st in state.groups))
+        state = state._replace(
+            groups=tuple(
+                st._replace(db=dbm.rescale(st.db, state.scal.scale,
+                                           state.scal.offset, ones, zeros))
+                for st in state.groups),
+            scal=scaling.VarScaler(
+                scale=ones, offset=zeros,
+                lb_scaled=jnp.asarray(cmop.lb, dtype),
+                ub_scaled=jnp.asarray(cmop.ub, dtype)))
 
     result = OptimizeResult(
         x=state.x, fx=state.fx, stop_code=state.stop_code,

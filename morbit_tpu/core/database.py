@@ -48,6 +48,14 @@ def add_site(db: Database, x: jax.Array, do_add=True) -> tuple[Database, jax.Arr
     ``do_add`` is false the insert is a no-op and the index is -1. Capacity
     is sized by ``AlgorithmConfig.resolved_db_capacity`` so overflow means a
     configuration error; the solver surfaces it by never evaluating row -1.
+
+    APPEND-ONLY INVARIANT: existing rows are never overwritten in place —
+    inserts only touch the slot at ``count`` (and ``eval_missing`` only
+    fills values of not-yet-``evaluated`` rows). The criticality-loop
+    fixpoint fast-forward (``Solver._criticality_and_trial``) certifies a
+    fixpoint from model leaves + ``db.count`` + ``n_evals`` alone; any
+    future op that mutates row *contents* without changing those would
+    silently invalidate it.
     """
     cap = db.X.shape[0]
     ok = jnp.asarray(do_add) & (db.count < cap)
@@ -77,6 +85,7 @@ def eval_missing(
     db: Database,
     eval_fn_scaled: Callable[[jax.Array], jax.Array],
     window: int | None = None,
+    eval_batch_masked: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
 ) -> tuple[Database, jax.Array]:
     """Evaluate all unevaluated rows in one batched call.
 
@@ -92,11 +101,21 @@ def eval_missing(
     eval_missing pass, so unevaluated rows live in the tail). When given,
     only that tail slice is evaluated — O(window) instead of O(capacity)
     true-function work per update.
+
+    APPEND-ONLY INVARIANT (see :func:`add_site`): this only fills values of
+    rows whose ``evaluated`` flag is unset — already-evaluated rows are
+    never recomputed or overwritten, which the criticality fixpoint
+    fast-forward depends on.
     """
     cap = db.X.shape[0]
     if window is None or window >= cap:
         missing = valid_mask(db) & (~db.evaluated)
-        new_vals = jax.vmap(eval_fn_scaled)(db.X)
+        if eval_batch_masked is not None:
+            # host black-box path: ONE callback, user code physically runs
+            # only at the missing rows (``eval_missing!`` parity)
+            new_vals = eval_batch_masked(db.X, missing)
+        else:
+            new_vals = jax.vmap(eval_fn_scaled)(db.X)
         Y = jnp.where(missing[:, None], new_vals, db.Y)
         n_evals = jnp.sum(missing).astype(jnp.int32)
         return Database(db.X, Y, db.evaluated | missing, db.count), n_evals
@@ -105,7 +124,10 @@ def eval_missing(
     Xw = jax.lax.dynamic_slice_in_dim(db.X, start, window, axis=0)
     idx = start + jnp.arange(window)
     missing_w = (idx < db.count) & (~db.evaluated[idx])
-    vals_w = jax.vmap(eval_fn_scaled)(Xw)
+    if eval_batch_masked is not None:
+        vals_w = eval_batch_masked(Xw, missing_w)
+    else:
+        vals_w = jax.vmap(eval_fn_scaled)(Xw)
     Yw_old = jax.lax.dynamic_slice_in_dim(db.Y, start, window, axis=0)
     Yw = jnp.where(missing_w[:, None], vals_w, Yw_old)
     Y = jax.lax.dynamic_update_slice_in_dim(db.Y, Yw, start, axis=0)

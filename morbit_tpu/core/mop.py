@@ -83,6 +83,39 @@ class VecFun:
             return jax.pure_callback(cb, shape, x, vmap_method=vmap_method)
         return jnp.atleast_1d(jnp.asarray(self.fn(x)))
 
+    def eval_batch_masked(self, X: jax.Array, mask: jax.Array) -> jax.Array:
+        """Evaluate a ``(K, n)`` site batch where only rows with
+        ``mask[i]`` need values (others return zeros).
+
+        For host black-boxes the masking happens *host-side inside one
+        callback*, so the user's function is physically invoked only at the
+        masked rows — the ``eval_missing!`` contract of the reference
+        (``Databases.jl:258-277`` evaluates exactly the unevaluated
+        results, never the whole database). Pure-JAX functions just vmap
+        (masked rows are free compute, no user code involved)."""
+        if not self.host:
+            return jax.vmap(self.eval)(X)
+        shape = jax.ShapeDtypeStruct(X.shape[:-1] + (self.n_out,), X.dtype)
+
+        def cb(Xv, mv):
+            Xv = np.asarray(Xv)
+            mv = np.asarray(mv)
+            flatX = Xv.reshape((-1, Xv.shape[-1]))
+            flatm = mv.reshape((-1,))
+            out = np.zeros((flatX.shape[0], self.n_out), dtype=Xv.dtype)
+            if self.can_batch and flatm.any():
+                sel = np.nonzero(flatm)[0]
+                vals = np.asarray(self.fn(flatX[sel]), dtype=Xv.dtype)
+                out[sel] = vals.reshape((len(sel), self.n_out))
+            else:
+                for i in np.nonzero(flatm)[0]:
+                    out[i] = np.asarray(self.fn(flatX[i]),
+                                        dtype=Xv.dtype).reshape(self.n_out)
+            return out.reshape(mv.shape + (self.n_out,))
+
+        return jax.pure_callback(cb, shape, X, mask,
+                                 vmap_method="expand_dims")
+
     def jacobian(self, x: jax.Array) -> jax.Array:
         """User callback > autodiff / finite differences
         (``AutoDiffWrapper``/``FiniteDiffWrapper``, ``DiffFn.jl:56-148``)."""
@@ -170,13 +203,15 @@ class MOP:
     def add_taylor_objective(self, fn, n_out=1, **cfg_kw):
         return self._add(fn, n_out, TaylorConfig(**cfg_kw), OBJECTIVE)
 
-    def add_nl_eq_constraint(self, fn, n_out=1, model_cfg=None, jac=None, hess=None):
+    def add_nl_eq_constraint(self, fn, n_out=1, model_cfg=None, jac=None,
+                             hess=None, **kw):
         cfg = RbfConfig() if model_cfg is None else model_cfg
-        return self._add(fn, n_out, cfg, NL_EQ, jac, hess)
+        return self._add(fn, n_out, cfg, NL_EQ, jac, hess, **kw)
 
-    def add_nl_ineq_constraint(self, fn, n_out=1, model_cfg=None, jac=None, hess=None):
+    def add_nl_ineq_constraint(self, fn, n_out=1, model_cfg=None, jac=None,
+                               hess=None, **kw):
         cfg = RbfConfig() if model_cfg is None else model_cfg
-        return self._add(fn, n_out, cfg, NL_INEQ, jac, hess)
+        return self._add(fn, n_out, cfg, NL_INEQ, jac, hess, **kw)
 
     # -- composite functions (``CompositeVecFun``, ``VecFun.jl``: outer
     #    phi(x, g(x)) with expensive modelled inner g) ----------------------
@@ -294,6 +329,18 @@ class GroupSpec:
         site — the batched-evaluation unit (``eval_missing!`` evaluates per
         sub-database, ``Databases.jl:258-277``)."""
         return jnp.concatenate([f.eval(x) for f in self.fns])
+
+    @property
+    def any_host(self) -> bool:
+        return any(f.host for f in self.fns)
+
+    def eval_unscaled_batch_masked(self, X: jax.Array,
+                                   mask: jax.Array) -> jax.Array:
+        """(K, m) values at unscaled sites, physically evaluating host
+        black-boxes only at masked rows (see
+        :meth:`VecFun.eval_batch_masked`)."""
+        return jnp.concatenate(
+            [f.eval_batch_masked(X, mask) for f in self.fns], axis=-1)
 
     def jac_unscaled(self, x: jax.Array) -> jax.Array:
         return jnp.concatenate([f.jacobian(x) for f in self.fns], axis=0)

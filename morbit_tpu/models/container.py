@@ -214,11 +214,19 @@ class SurrogateContainer:
         eval_scal = ctxs[0].scal if ctxs else self.scal
         for g, ops, st in zip(self.mop.groups, self.ops, mid):
             fn = lambda xs, g=g: g.eval_unscaled(scaling.untransform(eval_scal, xs))
+            # host black-box groups evaluate masked host-side so user code
+            # only runs at genuinely missing sites (``Databases.jl:258-277``)
+            batch_fn = None
+            if g.any_host:
+                batch_fn = lambda X, mask, g=g: g.eval_unscaled_batch_masked(
+                    jax.vmap(lambda xs: scaling.untransform(eval_scal, xs))(X),
+                    mask)
             # windowed tail evaluation pays off only for large databases
             # (for tiny ones the single fused full-capacity vmap is faster)
             win = ops.eval_window if (self.db_capacity >= 256 and
                                       self.db_capacity >= 8 * ops.eval_window) else None
-            db, n_new = dbm.eval_missing(st.db, fn, window=win)
+            db, n_new = dbm.eval_missing(st.db, fn, window=win,
+                                         eval_batch_masked=batch_fn)
             evaled.append(st._replace(db=db, n_evals=st.n_evals + n_new))
         # phase 2
         out = []

@@ -64,14 +64,85 @@ def gj_inverse(A: jax.Array) -> jax.Array:
 #: (the v5e measurements cover k <= 16; ZDT n=15 RBF KKTs reach k=151)
 GJ_MAX_K = 24
 
+#: blocked Gauss-Jordan covers the mid-size band (RBF KKT systems at
+#: n_vars = 7..15 are 44x44 .. 151x151 — past GJ_MAX_K but far below where
+#: XLA's batched LU becomes competitive, its per-column pivot loop costing
+#: ~0.25 ms/column at B=1024 on v5e)
+BLOCKED_GJ_MAX_K = 512
+#: panel width: per-column panel work is O(B*k*r) slab traffic, trailing
+#: updates are rank-r one-hot GEMMs — r=16 balances the two
+GJ_PANEL = 16
+
+
+def blocked_gj_solve(A: jax.Array, b: jax.Array, r: int = GJ_PANEL) -> jax.Array:
+    """Blocked Gauss-Jordan with partial pivoting for mid-size systems.
+
+    Single-instance ``A (k, k)``, ``b (k,)``/``(k, m)``; vmap-transparent
+    (every step is elementwise/select/matmul — no gathers, no scatters, no
+    while loops). Panels of ``r`` columns are eliminated at once:
+
+    1. an unrolled within-panel GJ pass picks the ``r`` pivot rows with
+       standard partial pivoting (cheap ``(k, r)`` slab ops);
+    2. the block-elimination identity ``M <- M - F D^-1 M_S`` (``F`` the
+       original panel, ``D`` its pivot block, ``S`` the pivot rows) applies
+       the whole panel's elimination as TWO rank-``r`` matmuls — MXU work
+       instead of ``r`` full-matrix elementwise sweeps. One-hot matmuls
+       stand in for row gathers/scatters (TPU-friendly).
+
+    Singular systems yield inf/nan like LU; callers keep their residual
+    fallbacks. Replaces ``jnp.linalg.solve`` whose batched LU lowering
+    serializes a dynamic-slice pivot loop (~0.25 ms/column at B=1024 on
+    v5e — 20+ ms for the ZDT n=10 RBF KKT at k=77).
+    """
+    k = A.shape[0]
+    vec = b.ndim == 1
+    B = b[:, None] if vec else b
+    m = B.shape[1]
+    M = jnp.concatenate([A, B], axis=1)  # (k, k+m)
+    rows = jnp.arange(k)
+    avail = jnp.ones((k,), bool)
+    all_onehots = []
+    for p0 in range(0, k, r):
+        rc = min(r, k - p0)
+        F = M[:, p0:p0 + rc]                          # original panel (k, rc)
+        # ---- within-panel GJ: pivot selection only
+        P = F
+        onehots = []
+        for c in range(rc):
+            colv = jnp.where(avail, jnp.abs(P[:, c]), -1.0)
+            oh = rows == jnp.argmax(colv)             # (k,)
+            onehots.append(oh)
+            avail = avail & (~oh)
+            pivrow = jnp.sum(jnp.where(oh[:, None], P, 0.0), axis=0)
+            pivrow = pivrow / pivrow[c]
+            P = jnp.where(oh[:, None], pivrow[None, :],
+                          P - P[:, c:c + 1] * pivrow[None, :])
+        OH = jnp.stack(onehots).astype(M.dtype)       # (rc, k)
+        all_onehots.append(OH)
+        # ---- block elimination of the whole panel
+        PivRows = OH @ M                              # (rc, k+m) original rows
+        D = PivRows[:, p0:p0 + rc]                    # (rc, rc) pivot block
+        Dinv = gj_inverse(D)
+        any_oh = jnp.sum(OH, axis=0) > 0.5            # (k,)
+        E = jnp.where(any_oh[:, None], 0.0, F @ Dinv)  # (k, rc)
+        M = M - E @ PivRows
+        M = jnp.where(any_oh[:, None], OH.T @ (Dinv @ PivRows), M)
+    OHall = jnp.concatenate(all_onehots, axis=0)      # (k, k) row j -> pivot j
+    X = OHall @ M[:, k:]
+    return X[:, 0] if vec else X
+
 
 def solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Size + dtype dispatch: unrolled Gauss-Jordan for tiny systems at
-    <= 32-bit (TPU perf path), ``jnp.linalg.solve`` otherwise (float64 keeps
-    CPU parity/golden trajectories bit-identical to round 1; large k avoids
-    the unrolled-graph compile blowup)."""
-    if jnp.finfo(A.dtype).bits <= 32 and A.shape[-1] <= GJ_MAX_K:
-        return gj_solve(A, b)
+    """Size + dtype dispatch: unrolled Gauss-Jordan for tiny systems and
+    blocked Gauss-Jordan for mid-size systems at <= 32-bit (TPU perf path),
+    ``jnp.linalg.solve`` otherwise (float64 keeps CPU parity/golden
+    trajectories bit-identical to round 1; very large k falls back to the
+    library lowering)."""
+    if jnp.finfo(A.dtype).bits <= 32:
+        if A.shape[-1] <= GJ_MAX_K:
+            return gj_solve(A, b)
+        if A.shape[-1] <= BLOCKED_GJ_MAX_K:
+            return blocked_gj_solve(A, b)
     if b.ndim == 1:
         return jnp.linalg.solve(A, b[:, None])[:, 0]
     return jnp.linalg.solve(A, b)

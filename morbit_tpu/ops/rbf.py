@@ -178,7 +178,7 @@ def fit_rbf(
 
         rhs = jnp.where(mask[:, None], values, 0.0)
 
-    from morbit_tpu.ops.batched_linalg import solve_small
+    from morbit_tpu.ops.batched_linalg import GJ_MAX_K, solve_small
 
     K = kkt(jnp.asarray(reg, dtype))
     sol = solve_small(K, rhs)
@@ -187,7 +187,21 @@ def fit_rbf(
     tol = 1e2 * jnp.sqrt(jnp.finfo(dtype).eps)
     bad = (~jnp.all(jnp.isfinite(sol))) | (resid > tol)
     ridge = max(reg, 1e2 * float(jnp.finfo(dtype).eps))
-    sol2 = solve_small(kkt(jnp.asarray(ridge, dtype)), rhs)
+    k_dim = max_pts + np_
+    if k_dim <= GJ_MAX_K:
+        # tiny systems: the second solve is ~free and a while-loop boundary
+        # would cost more than it saves (CLAUDE.md perf notes)
+        sol2 = solve_small(kkt(jnp.asarray(ridge, dtype)), rhs)
+    else:
+        # mid/large systems: gate the fallback behind a 0/1-trip while_loop
+        # so the (expensive) second solve only runs when some instance is
+        # actually degenerate — numerically identical to computing it always
+        def fb_body(c):
+            return (jnp.asarray(False),
+                    solve_small(kkt(jnp.asarray(ridge, dtype)), rhs))
+
+        _, sol2 = jax.lax.while_loop(
+            lambda c: c[0], fb_body, (bad, jnp.zeros_like(sol)))
     sol = jnp.where(bad, sol2, sol)
 
     w = jnp.where(mask[:, None], sol[:max_pts] / alpha, 0.0)

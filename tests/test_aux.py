@@ -30,6 +30,53 @@ def test_populated_db_saves_evaluations():
     assert np.all(np.isfinite(np.asarray(res2.x)))
 
 
+def test_populated_db_rescaled_across_different_bounds():
+    """Ingested databases are re-transformed to the CURRENT scaler
+    (``algorithm.jl:286-297``, ``Databases.jl:300``): recycling into a run
+    with different box bounds (hence a different unit-cube scaler) must
+    land the stored sites at their true positions."""
+    def build(lb, ub):
+        mop = MOP(lb, ub)
+        cfg = RbfConfig(kernel="multiquadric")
+        mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+        mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+        return mop
+
+    res1 = optimize(build([-4.0, -4.0], [4.0, 4.0]),
+                    jnp.array([-3.0, 2.5]), max_iter=10)
+    mop2 = build([-8.0, -6.0], [6.0, 8.0])
+    res2 = optimize(mop2, jnp.array([2.0, -2.0]), max_iter=10,
+                    populated_db=res1.state)
+    res3 = optimize(mop2, jnp.array([2.0, -2.0]), max_iter=10)
+    # recycled sites land correctly -> model reuse saves true evaluations
+    assert int(res2.n_evals) < int(res3.n_evals)
+    assert np.all(np.isfinite(np.asarray(res2.x)))
+    # the recycled rows, untransformed with run 2's scaler, must coincide
+    # with run 1's rows untransformed with run 1's scaler
+    g1, g2 = res1.state.groups[0], res2.state.groups[0]
+    k = int(g1.db.count)
+    s1, o1 = res1.state.scal.scale, res1.state.scal.offset
+    s2, o2 = res2.state.scal.scale, res2.state.scal.offset
+    x1 = (np.asarray(g1.db.X)[:k] - np.asarray(o1)) / np.asarray(s1)
+    x2 = (np.asarray(g2.db.X)[:k] - np.asarray(o2)) / np.asarray(s2)
+    assert np.allclose(x1, x2, atol=1e-10)
+
+
+def test_populated_db_after_untransform_final_database():
+    """``untransform_final_database=True`` hands back unscaled sites with an
+    identity scaler, so recycling that state re-transforms correctly."""
+    mop = _rbf_mop()
+    res1 = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=10,
+                    untransform_final_database=True)
+    # the returned scaler is the identity
+    assert np.allclose(np.asarray(res1.state.scal.scale), 1.0)
+    res2 = optimize(mop, jnp.array([2.0, -2.0]), max_iter=10,
+                    populated_db=res1.state)
+    res3 = optimize(mop, jnp.array([2.0, -2.0]), max_iter=10)
+    assert int(res2.n_evals) < int(res3.n_evals)
+    assert np.all(np.isfinite(np.asarray(res2.x)))
+
+
 def test_auto_scaler_unbounded():
     """:auto FD-Jacobian scaling for unbounded problems
     (``VarScaler.jl:139-238``)."""

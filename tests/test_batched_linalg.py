@@ -94,3 +94,59 @@ def test_solve_small_dispatch():
     A32, b32 = A64.astype(jnp.float32), b64.astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(solve_small(A32, b32)),
                                np.asarray(gj_solve(A32, b32)))
+
+
+@pytest.mark.parametrize("k", [25, 40, 77])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_blocked_gj_matches_lu(k, dtype):
+    from morbit_tpu.ops.batched_linalg import blocked_gj_solve
+
+    rng = np.random.default_rng(k)
+    A = jnp.asarray(rng.normal(size=(k, k)) + 3 * np.eye(k), dtype)
+    b = jnp.asarray(rng.normal(size=(k, 2)), dtype)
+    x = blocked_gj_solve(A, b)
+    ref = jnp.linalg.solve(A, b)
+    tol = 5e-4 if dtype == jnp.float32 else 1e-10
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=tol, atol=tol)
+
+
+def test_blocked_gj_needs_pivoting():
+    """KKT-like system with a zero trailing block: unpivoted elimination
+    hits zero diagonals (the RBF KKT shape, ``fit_rbf``)."""
+    from morbit_tpu.ops.batched_linalg import blocked_gj_solve
+
+    rng = np.random.default_rng(0)
+    p, q = 30, 4
+    Phi = rng.normal(size=(p, p))
+    Phi = Phi @ Phi.T + 0.1 * np.eye(p)
+    Pi = rng.normal(size=(p, q))
+    K = np.block([[Phi, Pi], [Pi.T, np.zeros((q, q))]])
+    b = rng.normal(size=(p + q,))
+    x = blocked_gj_solve(jnp.asarray(K, jnp.float64), jnp.asarray(b, jnp.float64))
+    np.testing.assert_allclose(np.asarray(K @ np.asarray(x)), b, atol=1e-8)
+
+
+def test_blocked_gj_under_vmap():
+    from morbit_tpu.ops.batched_linalg import blocked_gj_solve
+
+    rng = np.random.default_rng(1)
+    k, B = 33, 7
+    A = jnp.asarray(rng.normal(size=(B, k, k)) + 4 * np.eye(k), jnp.float64)
+    b = jnp.asarray(rng.normal(size=(B, k)), jnp.float64)
+    X = jax.jit(jax.vmap(blocked_gj_solve))(A, b)
+    ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(X), np.asarray(ref), atol=1e-9)
+
+
+def test_solve_small_midsize_dispatch():
+    from morbit_tpu.ops.batched_linalg import solve_small
+
+    rng = np.random.default_rng(2)
+    k = 50
+    A = jnp.asarray(rng.normal(size=(k, k)) + 4 * np.eye(k), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(k,)), jnp.float32)
+    x = solve_small(A, b)
+    ref = jnp.linalg.solve(jnp.asarray(A, jnp.float64),
+                           jnp.asarray(b, jnp.float64)[:, None])[:, 0]
+    np.testing.assert_allclose(np.asarray(x, np.float64), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -1,0 +1,94 @@
+"""Host black-box physical-call parity.
+
+The reference only ever invokes user functions at sites it counts
+(``CountedFunc``, ``globals.jl:74-112``; ``eval_missing!`` evaluates exactly
+the unevaluated results, ``Databases.jl:258-277``). A TPU-native solver
+evaluates speculative bundles and full masked buffers whose results are
+selected away — free for pure-JAX functions, but a ``host=True`` black-box
+bridged via ``pure_callback`` would physically run. These tests pin the
+contract: in a sequential (unbatched) solve, the number of *physical* calls
+to a host function equals its group's reported eval counter.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from morbit_tpu.core.algorithm import optimize
+from morbit_tpu.core.mop import MOP
+from morbit_tpu.models.configs import RbfConfig
+
+
+def _count_rows(counter, x):
+    x = np.asarray(x)
+    counter["n"] += x.reshape((-1, x.shape[-1])).shape[0] if x.ndim > 1 else 1
+
+
+def test_host_objective_calls_match_counter():
+    calls = {"n": 0}
+
+    def black_box(x):
+        _count_rows(calls, x)
+        return np.atleast_1d(np.sum((np.asarray(x) - 1.0) ** 2, axis=-1))
+
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_objective(black_box, model_cfg=RbfConfig(kernel="multiquadric"),
+                      host=True)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2),
+                      model_cfg=RbfConfig(kernel="multiquadric"))
+
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=8, dtype=jnp.float64)
+    # the host objective was inserted first; whether or not the two
+    # objectives share a group, the host function runs once per counted
+    # group-site evaluation
+    assert calls["n"] == int(res.state.groups[0].n_evals), (
+        calls, [int(st.n_evals) for st in res.state.groups])
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_host_constrained_calls_match_counter():
+    """Constrained flow: the speculative candidate bundle at x+n and the
+    restoration-tail evaluation are runtime-gated for host problems — in a
+    feasible run (theta == 0 throughout) they must never physically invoke
+    the black-box constraint (round-2 advisor finding)."""
+    calls = {"n": 0}
+
+    def blackbox_con(x):
+        _count_rows(calls, x)
+        # never violated inside the box (max ||x||^2 = 32 < 50): the run
+        # stays feasible, so every candidate-bundle evaluation is discarded
+        return np.atleast_1d(np.sum(np.asarray(x) ** 2, axis=-1) - 50.0)
+
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_exact_objective(lambda x: jnp.sum((x - 1.0) ** 2))
+    mop.add_exact_objective(lambda x: jnp.sum((x + 1.0) ** 2))
+    mop.add_nl_ineq_constraint(blackbox_con,
+                               model_cfg=RbfConfig(kernel="cubic"), host=True)
+
+    res = optimize(mop, jnp.array([-1.5, 1.0]), max_iter=6, dtype=jnp.float64)
+    con_counter = int(res.state.groups[-1].n_evals)
+    assert calls["n"] == con_counter, (calls, con_counter)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_host_can_batch_masked_eval_missing():
+    """can_batch host functions receive batched calls covering exactly the
+    missing rows (the ``can_batch`` broadcast contract,
+    ``globals.jl:97-102``, combined with ``eval_missing!`` masking)."""
+    seen = {"n": 0}
+
+    def batched(x):
+        _count_rows(seen, x)
+        x = np.asarray(x)
+        if x.ndim == 1:
+            return np.atleast_1d(np.sum((x - 1.0) ** 2))
+        return np.sum((x - 1.0) ** 2, axis=-1, keepdims=True)
+
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_objective(batched, model_cfg=RbfConfig(kernel="multiquadric"),
+                      host=True, can_batch=True)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2),
+                      model_cfg=RbfConfig(kernel="multiquadric"))
+
+    res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=6, dtype=jnp.float64)
+    assert seen["n"] == int(res.state.groups[0].n_evals), (
+        seen, [int(st.n_evals) for st in res.state.groups])

@@ -99,7 +99,7 @@ def main():
         s._get_criticality = (
             lambda groups, x_s, x_n_s, le, li, fx, delta, scal: (
                 jnp.asarray(0.5, s.dtype),
-                jnp.full((n,), -0.1, s.dtype)))
+                jnp.full((n,), -0.1, s.dtype), groups))
     report("w/o criticality jac+LP", no_crit_qp)
 
     def no_crit_routine(s):

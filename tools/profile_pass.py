@@ -137,7 +137,7 @@ def main():
     def crit_body(s, groups, i):
         d = s.delta * (1.0 + 1e-6 * i)
         def one(g, xs, le, li, fx, dd, sc):
-            omega, dd2 = solver._get_criticality((g,), xs, xs, le, li, fx,
+            omega, dd2, _ = solver._get_criticality((g,), xs, xs, le, li, fx,
                                                  dd, sc)
             return g._replace(n_evals=g.n_evals + (omega > 0))
         return (vm(one)(groups[0], s.x_s, s.l_e, s.l_i, s.fx, d, s.scal),)
