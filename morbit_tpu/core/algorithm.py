@@ -44,25 +44,81 @@ from morbit_tpu.models.container import SurrogateContainer
 from morbit_tpu.ops.geometry import project_into_box
 
 
-class TrajectoryState(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TrajectoryState:
     """Per-iteration stamps — the ``IterSaveable`` ring buffer
     (``src/IterDataIterSaveable.jl:189-216``, stamped at
-    ``algorithm.jl:899-903``)."""
+    ``algorithm.jl:899-903``).
 
-    x: jax.Array           # (T, n) unscaled iterates
-    fx: jax.Array          # (T, m_obj)
-    delta: jax.Array       # (T,)
-    rho: jax.Array         # (T,)
-    omega: jax.Array       # (T,)
-    steplength: jax.Array  # (T,)
-    it_stat: jax.Array     # (T,) int32
-    x_indices: jax.Array   # (T, G) int32 — per-group db row of the iterate
-                           # (``x_indices`` map, ``IterDataIterSaveable.jl:189-205``)
-    count: jax.Array       # int32
+    All stamps are PACKED into one ``(T, W)`` array with layout
+    ``[x (n) | fx (m) | delta | rho | omega | steplength | it_stat |
+    x_indices (G)]`` — each distinct while-loop-carried buffer pays a fixed
+    alternate-memory copy stall per boundary on TPU (tools/profile_trace.py),
+    so one packed buffer replaces eight. Integer stamps are stored in the
+    float dtype (exact below 2^24); the named views convert back."""
+
+    data: jax.Array   # (T, W)
+    count: jax.Array  # int32
+    n: int
+    m: int
+    G: int
+
+    def tree_flatten(self):
+        return (self.data, self.count), (self.n, self.m, self.G)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
+
+    # ---- named read-only views (leading batch dims pass through)
+    @property
+    def x(self):
+        return self.data[..., :, : self.n]
+
+    @property
+    def fx(self):
+        return self.data[..., :, self.n: self.n + self.m]
+
+    def _col(self, j):
+        return self.data[..., :, self.n + self.m + j]
+
+    @property
+    def delta(self):
+        return self._col(0)
+
+    @property
+    def rho(self):
+        return self._col(1)
+
+    @property
+    def omega(self):
+        return self._col(2)
+
+    @property
+    def steplength(self):
+        return self._col(3)
+
+    @property
+    def it_stat(self):
+        return self._col(4).astype(jnp.int32)
+
+    @property
+    def x_indices(self):
+        return self.data[..., :, self.n + self.m + 5:].astype(jnp.int32)
 
 
-class SolverState(NamedTuple):
-    """Complete solver state (``IterData`` + databases + filter + stamps)."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SolverState:
+    """Complete solver state (``IterData`` + databases + filter + stamps).
+
+    The int32 bookkeeping scalars (iteration counter, last ``ITER_TYPE``,
+    stop code) and the per-group ``x_indices`` map are PACKED into one
+    ``ints`` vector: each distinct buffer carried across the outer
+    ``while_loop`` boundary pays a fixed alternate-memory copy stall on TPU
+    (tools/profile_trace.py). The named views and ``_replace`` keep the
+    logical field API."""
 
     x: jax.Array        # (n,) unscaled iterate
     x_s: jax.Array      # (n,) scaled iterate
@@ -72,16 +128,53 @@ class SolverState(NamedTuple):
     c_e: jax.Array      # (m_ce,)
     c_i: jax.Array      # (m_ci,)
     delta: jax.Array    # scalar
-    iter_counter: jax.Array
-    last_it_stat: jax.Array
-    stop_code: jax.Array
+    ints: jax.Array     # (3 + G,) int32: [iter_counter, last_it_stat,
+                        #   stop_code, x_indices (G,)]
     groups: tuple       # tuple[GroupState]
-    x_indices: jax.Array  # (G,) row of the iterate in each group db
     filter: flt.FilterState
     traj: TrajectoryState
     scal: scaling.VarScaler  # current variable scaling (constant unless
                              # var_scaler_update == 'model')
     key: jax.Array      # PRNG key (round-4 use_max_points sampling)
+
+    _FIELDS = ("x", "x_s", "fx", "l_e", "l_i", "c_e", "c_i", "delta",
+               "ints", "groups", "filter", "traj", "scal", "key")
+    _INT_COLS = {"iter_counter": 0, "last_it_stat": 1, "stop_code": 2}
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._FIELDS), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # ---- named views of the packed ints
+    @property
+    def iter_counter(self):
+        return self.ints[..., 0]
+
+    @property
+    def last_it_stat(self):
+        return self.ints[..., 1]
+
+    @property
+    def stop_code(self):
+        return self.ints[..., 2]
+
+    @property
+    def x_indices(self):
+        return self.ints[..., 3:]
+
+    def _replace(self, **kw):
+        ints = kw.pop("ints", self.ints)
+        for name, col in self._INT_COLS.items():
+            if name in kw:
+                ints = ints.at[..., col].set(
+                    jnp.asarray(kw.pop(name), jnp.int32))
+        if "x_indices" in kw:
+            ints = ints.at[..., 3:].set(
+                jnp.asarray(kw.pop("x_indices"), jnp.int32))
+        return dataclasses.replace(self, ints=ints, **kw)
 
 
 class OptimizeResult(NamedTuple):
@@ -231,15 +324,15 @@ class Solver:
                it_stat, x_indices) -> TrajectoryState:
         slot = jnp.clip(traj.count, 0, self.T - 1)
         ok = traj.count < self.T
-        upd = lambda buf, v: jnp.where(ok, buf.at[slot].set(v), buf)
-        return TrajectoryState(
-            x=upd(traj.x, x), fx=upd(traj.fx, fx), delta=upd(traj.delta, delta),
-            rho=upd(traj.rho, rho), omega=upd(traj.omega, omega),
-            steplength=upd(traj.steplength, steplength),
-            it_stat=upd(traj.it_stat, jnp.asarray(it_stat, jnp.int32)),
-            x_indices=upd(traj.x_indices, jnp.asarray(x_indices, jnp.int32)),
-            count=traj.count + 1,
-        )
+        dt = traj.data.dtype
+        sc = lambda v: jnp.asarray(v, dt).reshape((1,))
+        row = jnp.concatenate([
+            jnp.asarray(x, dt), jnp.asarray(fx, dt), sc(delta), sc(rho),
+            sc(omega), sc(steplength), sc(jnp.asarray(it_stat, jnp.int32)),
+            jnp.asarray(x_indices, jnp.int32).astype(dt).reshape((-1,)),
+        ])
+        data = jnp.where(ok, traj.data.at[slot].set(row), traj.data)
+        return dataclasses.replace(traj, data=data, count=traj.count + 1)
 
     def _total_evals(self, groups):
         return sum(st.n_evals for st in groups)
@@ -426,8 +519,8 @@ class Solver:
                                      self.scal.offset)
                 same = (jnp.all(prev_scal.scale == self.scal.scale)
                         & jnp.all(prev_scal.offset == self.scal.offset))
-                X = jnp.where(same, old_db.X, new_db.X)
-                return old_db._replace(X=X)
+                data = jnp.where(same, old_db.data, new_db.data)
+                return dataclasses.replace(old_db, data=data)
 
             groups = tuple(
                 fresh._replace(db=ingest(old.db))
@@ -438,19 +531,18 @@ class Solver:
         l_e, l_i = self._linear_values(x_s, scal)
         delta0 = jnp.asarray(self.ac.delta_0, dtype)
 
-        filt = flt.init_filter(self.ac.filter_capacity, self.f_dim, dtype)
+        # dummy filter (no nonlinear constraints) carries NO buffers through
+        # the solve loop — zero-capacity arrays are free
+        filt = flt.init_filter(
+            0 if self.filter_mode == "dummy" else self.ac.filter_capacity,
+            self.f_dim, dtype)
 
         T = self.T
+        G = len(mop.groups)
         traj = TrajectoryState(
-            x=jnp.zeros((T, mop.n_vars), dtype),
-            fx=jnp.zeros((T, mop.m_obj), dtype),
-            delta=jnp.zeros((T,), dtype),
-            rho=jnp.zeros((T,), dtype),
-            omega=jnp.zeros((T,), dtype),
-            steplength=jnp.zeros((T,), dtype),
-            it_stat=jnp.zeros((T,), jnp.int32),
-            x_indices=jnp.zeros((T, len(mop.groups)), jnp.int32),
+            data=jnp.zeros((T, mop.n_vars + mop.m_obj + 5 + G), dtype),
             count=jnp.asarray(0, jnp.int32),
+            n=mop.n_vars, m=mop.m_obj, G=G,
         )
         traj = self._stamp(traj, x, fx, delta0, -jnp.inf, -jnp.inf, -jnp.inf,
                            ITER_TYPE.INITIALIZATION, x_indices)
@@ -460,13 +552,16 @@ class Solver:
         groups = self.container.update(groups, x_s, x_indices, delta0,
                                        ensure_fully_linear=True, scal=scal)
 
+        ints = jnp.concatenate([
+            jnp.asarray([1, ITER_TYPE.ACCEPTABLE, STOP_CODE.CONTINUE],
+                        jnp.int32),
+            jnp.asarray(x_indices, jnp.int32),
+        ])
         return SolverState(
             x=x, x_s=x_s, fx=fx, l_e=l_e, l_i=l_i, c_e=c_e, c_i=c_i,
             delta=delta0,
-            iter_counter=jnp.asarray(1, jnp.int32),
-            last_it_stat=jnp.asarray(ITER_TYPE.ACCEPTABLE, jnp.int32),
-            stop_code=jnp.asarray(STOP_CODE.CONTINUE, jnp.int32),
-            groups=groups, x_indices=x_indices, filter=filt, traj=traj,
+            ints=ints,
+            groups=groups, filter=filt, traj=traj,
             scal=scal,
             key=jax.random.fold_in(
                 jax.random.PRNGKey(1234),
@@ -1118,11 +1213,13 @@ class Solver:
             return groups, omega, d
 
         def _fixpoint(g_in, g_out):
-            """True iff a criticality pass mapped the group states onto
-            themselves: identical model pytrees, database fill and eval
-            counters. ``crit_update`` is deterministic in its group input
-            (delta0/x/scal are loop constants; the PRNG key is unused when
-            ``self._crit_ff``), so a fixpoint makes every further rebuild
+            """True iff a criticality pass mapped the (fit-stripped) group
+            states onto themselves: identical carried model meta, database
+            fill and eval counters. ``crit_update`` is deterministic in its
+            group input (delta0/x/scal are loop constants; the PRNG key is
+            unused when ``self._crit_ff``) and the fitted parts are a pure
+            function of (meta, db, ctx) over append-only databases (see
+            ``dbm.add_site``), so a fixpoint makes every further rebuild
             pass identical — only the Delta bookkeeping remains."""
             eq = jnp.asarray(True)
             for a, b in zip(g_in, g_out):
@@ -1132,40 +1229,49 @@ class Solver:
                 eq = eq & (a.db.count == b.db.count) & (a.n_evals == b.n_evals)
             return eq
 
+        # flag bits packed into ONE carried int32 (each carried scalar is
+        # its own buffer at the while-loop boundary — CLAUDE.md perf notes)
+        F_EXIT, F_FIRST, F_DO, F_DONE, F_STABLE = 1, 2, 4, 8, 16
+        bit = lambda flags, b: (flags & b) > 0
+        one = jnp.asarray(1, jnp.int32)
+
         def loop_cond(carry):
-            (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-             done, stable) = carry
+            slim, delta, omega, d, n_loops, flags = carry
             # ``while all(Delta > mu*omega)`` (``:560``), or the pending
             # pre-step pass; stabilized lanes leave for the Delta-only
             # fast-forward loop below
-            return (~done) & (first | (do_loops & (delta > mu * omega)
-                                       & (~stable)))
+            return (~bit(flags, F_DONE)) & (
+                bit(flags, F_FIRST)
+                | (bit(flags, F_DO) & (delta > mu * omega)
+                   & (~bit(flags, F_STABLE))))
 
         def loop_body(carry):
-            (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-             done, stable) = carry
+            slim, delta, omega, d, n_loops, flags = carry
+            first = bit(flags, F_FIRST)
             # loop-phase budget/count checks happen before any work (``:563-573``)
             stop_now = (~first) & (
                 (n_loops >= ac.max_critical_loops)
-                | self.container.budget_exhausted(groups))
+                | self.container.budget_exhausted(slim))
 
             def halt(c):
-                (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-                 done, stable) = c
-                return (groups, delta, omega, d, n_loops, jnp.asarray(True),
-                        first, do_loops, jnp.asarray(True), stable)
+                slim, delta, omega, d, n_loops, flags = c
+                return (slim, delta, omega, d, n_loops,
+                        flags | F_EXIT | F_DONE)
 
             def work(c):
-                (groups, delta, omega, d, n_loops, exit_c, first, do_loops,
-                 done, stable) = c
+                slim, delta, omega, d, n_loops, flags = c
+                first = bit(flags, F_FIRST)
                 # pre-step keeps Delta; loop passes shrink the local copy
                 # (the rebuild still sees the iterate's radius, ``:575-579``)
                 delta = jnp.where(first, delta, gamma_c * delta)
-                groups_in = groups
-                groups, omega, d = crit_update(groups, 7001 + n_loops)
+                groups_full = self.container.unstrip_fits(slim)
+                groups_out, omega, d = crit_update(groups_full,
+                                                   7001 + n_loops)
+                slim_out = self.container.strip_fits(groups_out)
+                stable = bit(flags, F_STABLE)
                 if self._crit_ff:
-                    stable = _fixpoint(groups_in, groups)
-                fl_now = self.container.fully_linear(groups)
+                    stable = _fixpoint(slim, slim_out)
+                fl_now = self.container.fully_linear(groups_out)
                 n_loops = n_loops + jnp.where(first, 0, 1)
                 if self.log_level >= 4:
                     # ``(Criticality Test) Criticality loop N`` (``:561``)
@@ -1178,7 +1284,7 @@ class Solver:
                 # fully linear and still critical; else "one last descent
                 # step" (done without exit_critical)
                 do_loops_new = jnp.where(
-                    first, fl_now & (delta0 > mu * omega), do_loops)
+                    first, fl_now & (delta0 > mu * omega), bit(flags, F_DO))
                 done_pre = first & (~(fl_now & (delta0 > mu * omega)))
 
                 # loop-phase tolerance/FL exits (``:585-595``)
@@ -1186,20 +1292,35 @@ class Solver:
                     (delta <= ac.delta_tol_abs)
                     | self._omega_tests(omega, delta) | (~fl_now))
 
-                return (groups, delta, omega, d, n_loops,
-                        exit_c | tol_exit, jnp.asarray(False), do_loops_new,
-                        done | done_pre | tol_exit, stable)
+                done_new = bit(flags, F_DONE) | done_pre | tol_exit
+                exit_new = bit(flags, F_EXIT) | tol_exit
+                flags = (jnp.where(exit_new, one * F_EXIT, 0)
+                         | jnp.where(do_loops_new, one * F_DO, 0)
+                         | jnp.where(done_new, one * F_DONE, 0)
+                         | jnp.where(stable, one * F_STABLE, 0))
+                return (slim_out, delta, omega, d, n_loops, flags)
 
             return jax.lax.cond(stop_now, halt, work, carry)
 
         first0 = enter_crit & (~fully_lin)
         # entry with fully linear models implies Delta > mu*omega (``:738``)
         do_loops0 = enter_crit & fully_lin
-        init = (inter.groups, delta0, omega, d, jnp.asarray(0, jnp.int32),
-                jnp.asarray(False), first0, do_loops0, ~enter_crit,
-                jnp.asarray(False))
-        (groups, delta_loc, omega, d, n_loops_r, exit_c, _, do_loops,
-         done_r, stable_r) = jax.lax.while_loop(loop_cond, loop_body, init)
+        flags0 = (jnp.where(first0, one * F_FIRST, 0)
+                  | jnp.where(do_loops0, one * F_DO, 0)
+                  | jnp.where(~enter_crit, one * F_DONE, 0))
+        init = (self.container.strip_fits(inter.groups), delta0, omega, d,
+                jnp.asarray(0, jnp.int32), flags0)
+        (slim_f, delta_loc, omega, d, n_loops_r, flags_f) = jax.lax.while_loop(
+            loop_cond, loop_body, init)
+        exit_c = bit(flags_f, F_EXIT)
+        do_loops = bit(flags_f, F_DO)
+        done_r = bit(flags_f, F_DONE)
+        stable_r = bit(flags_f, F_STABLE)
+        # re-attach the fitted parts: ``fit`` is deterministic in
+        # (meta, db, ctx), so lanes that never entered the loop reproduce
+        # their pre-loop models bit-identically
+        groups = self.container.refit(slim_f, inter.x_s, inter.x_indices,
+                                      delta0, scal=inter.scal)
 
         if self._crit_ff:
             # Delta-only fast-forward for stabilized lanes: replays the
@@ -1442,8 +1563,10 @@ class Solver:
         traj = self._stamp(next_state.traj, next_state.x, next_state.fx,
                            delta_new, rho, omega, steplength, 0,
                            next_state.x_indices)
-        traj = traj._replace(it_stat=traj.it_stat.at[
-            jnp.clip(traj.count - 1, 0, self.T - 1)].set(it_stat))
+        it_col = traj.n + traj.m + 4
+        traj = dataclasses.replace(traj, data=traj.data.at[
+            jnp.clip(traj.count - 1, 0, self.T - 1), it_col].set(
+                jnp.asarray(it_stat, traj.data.dtype)))
         next_state = next_state._replace(traj=traj)
 
         # ---- stopping tests (``:868-872`` + ``:905-914``)

@@ -11,34 +11,71 @@ operation is jit/vmap-friendly with static shapes.
 One database exists per surrogate group (``SuperDB`` analogue:
 ``src/Databases.jl:340-350``); sites are stored in *scaled* space, like the
 reference stores transformed sites (``set_transformed!``, ``utilities.jl:54``).
+
+Storage layout (TPU perf, round 3): sites, values and the evaluated flag are
+PACKED into one ``(cap, n + m + 1)`` array. Each distinct buffer carried
+across a ``while_loop`` boundary pays a fixed ~0.4-0.7 ms alternate-memory
+copy stall at B=1024 on v5e **independent of its size** (measured,
+tools/profile_trace.py), so one packed buffer beats three logical ones.
+``X`` / ``Y`` / ``evaluated`` remain available as read-only views.
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+import dataclasses
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 
-class Database(NamedTuple):
-    X: jax.Array          # (cap, n) scaled sites
-    Y: jax.Array          # (cap, m) values (garbage until evaluated)
-    evaluated: jax.Array  # (cap,) bool
-    count: jax.Array      # int32 fill counter
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Database:
+    """Packed evaluation database; ``n``/``m`` are static metadata."""
+
+    data: jax.Array   # (cap, n + m + 1): [sites | values | evaluated-flag]
+    count: jax.Array  # int32 fill counter
+    n: int
+    m: int
+
+    def tree_flatten(self):
+        return (self.data, self.count), (self.n, self.m)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    # ---- read-only views (the pre-packing field API)
+    @property
+    def X(self) -> jax.Array:
+        return self.data[..., :, : self.n]
+
+    @property
+    def Y(self) -> jax.Array:
+        return self.data[..., :, self.n: self.n + self.m]
+
+    @property
+    def evaluated(self) -> jax.Array:
+        return self.data[..., :, self.n + self.m] > 0.5
+
+
+def _row(db: Database, x, y, evaluated):
+    """Assemble one packed row."""
+    flag = jnp.asarray(evaluated, db.data.dtype).reshape((1,))
+    return jnp.concatenate([x, y, flag])
 
 
 def init_database(cap: int, n: int, m: int, dtype) -> Database:
     return Database(
-        X=jnp.zeros((cap, n), dtype),
-        Y=jnp.zeros((cap, m), dtype),
-        evaluated=jnp.zeros((cap,), bool),
+        data=jnp.zeros((cap, n + m + 1), dtype),
         count=jnp.asarray(0, jnp.int32),
+        n=n, m=m,
     )
 
 
 def valid_mask(db: Database) -> jax.Array:
-    return jnp.arange(db.X.shape[0]) < db.count
+    return jnp.arange(db.data.shape[0]) < db.count
 
 
 def add_site(db: Database, x: jax.Array, do_add=True) -> tuple[Database, jax.Array]:
@@ -57,28 +94,27 @@ def add_site(db: Database, x: jax.Array, do_add=True) -> tuple[Database, jax.Arr
     future op that mutates row *contents* without changing those would
     silently invalidate it.
     """
-    cap = db.X.shape[0]
+    cap = db.data.shape[0]
     ok = jnp.asarray(do_add) & (db.count < cap)
     idx = jnp.where(ok, db.count, -1).astype(jnp.int32)
     slot = jnp.clip(db.count, 0, cap - 1)
-    X = jnp.where(ok, db.X.at[slot].set(x), db.X)
-    evaluated = jnp.where(ok, db.evaluated.at[slot].set(False), db.evaluated)
+    row = _row(db, x, jnp.zeros((db.m,), db.data.dtype), 0.0)
+    data = jnp.where(ok, db.data.at[slot].set(row), db.data)
     count = jnp.where(ok, db.count + 1, db.count)
-    return Database(X, db.Y, evaluated, count), idx
+    return dataclasses.replace(db, data=data, count=count), idx
 
 
 def add_evaluated(db: Database, x: jax.Array, y: jax.Array, do_add=True) -> tuple[Database, jax.Array]:
     """Insert a site together with its values (``put_eval_result_into_db!``,
     ``Databases.jl:390-401``)."""
-    cap = db.X.shape[0]
+    cap = db.data.shape[0]
     ok = jnp.asarray(do_add) & (db.count < cap)
     idx = jnp.where(ok, db.count, -1).astype(jnp.int32)
     slot = jnp.clip(db.count, 0, cap - 1)
-    X = jnp.where(ok, db.X.at[slot].set(x), db.X)
-    Y = jnp.where(ok, db.Y.at[slot].set(y), db.Y)
-    evaluated = jnp.where(ok, db.evaluated.at[slot].set(True), db.evaluated)
+    row = _row(db, x, y, 1.0)
+    data = jnp.where(ok, db.data.at[slot].set(row), db.data)
     count = jnp.where(ok, db.count + 1, db.count)
-    return Database(X, Y, evaluated, count), idx
+    return dataclasses.replace(db, data=data, count=count), idx
 
 
 def eval_missing(
@@ -107,7 +143,9 @@ def eval_missing(
     never recomputed or overwritten, which the criticality fixpoint
     fast-forward depends on.
     """
-    cap = db.X.shape[0]
+    cap = db.data.shape[0]
+    n, m = db.n, db.m
+    one = jnp.asarray(1.0, db.data.dtype)
     if window is None or window >= cap:
         missing = valid_mask(db) & (~db.evaluated)
         if eval_batch_masked is not None:
@@ -116,24 +154,28 @@ def eval_missing(
             new_vals = eval_batch_masked(db.X, missing)
         else:
             new_vals = jax.vmap(eval_fn_scaled)(db.X)
-        Y = jnp.where(missing[:, None], new_vals, db.Y)
+        new_rows = jnp.concatenate(
+            [new_vals, jnp.full((cap, 1), one)], axis=1)
+        tail = jnp.where(missing[:, None], new_rows, db.data[:, n:])
+        data = jnp.concatenate([db.data[:, :n], tail], axis=1)
         n_evals = jnp.sum(missing).astype(jnp.int32)
-        return Database(db.X, Y, db.evaluated | missing, db.count), n_evals
+        return dataclasses.replace(db, data=data), n_evals
 
     start = jnp.clip(db.count - window, 0, cap - window)
-    Xw = jax.lax.dynamic_slice_in_dim(db.X, start, window, axis=0)
+    Dw = jax.lax.dynamic_slice_in_dim(db.data, start, window, axis=0)
+    Xw = Dw[:, :n]
     idx = start + jnp.arange(window)
-    missing_w = (idx < db.count) & (~db.evaluated[idx])
+    missing_w = (idx < db.count) & (Dw[:, n + m] <= 0.5)
     if eval_batch_masked is not None:
         vals_w = eval_batch_masked(Xw, missing_w)
     else:
         vals_w = jax.vmap(eval_fn_scaled)(Xw)
-    Yw_old = jax.lax.dynamic_slice_in_dim(db.Y, start, window, axis=0)
-    Yw = jnp.where(missing_w[:, None], vals_w, Yw_old)
-    Y = jax.lax.dynamic_update_slice_in_dim(db.Y, Yw, start, axis=0)
-    evaluated = db.evaluated.at[idx].set(db.evaluated[idx] | missing_w)
+    new_rows = jnp.concatenate(
+        [Xw, vals_w, jnp.full((window, 1), one)], axis=1)
+    Dw_new = jnp.where(missing_w[:, None], new_rows, Dw)
+    data = jax.lax.dynamic_update_slice_in_dim(db.data, Dw_new, start, axis=0)
     n_evals = jnp.sum(missing_w).astype(jnp.int32)
-    return Database(db.X, Y, evaluated, db.count), n_evals
+    return dataclasses.replace(db, data=data), n_evals
 
 
 def results_in_box(
@@ -144,18 +186,20 @@ def results_in_box(
 ) -> jax.Array:
     """Mask of valid rows inside the box (``results_in_box_indices``,
     ``Databases.jl:324-327``), optionally excluding one row (the center)."""
-    inside = jnp.all((db.X >= lb[None, :]) & (db.X <= ub[None, :]), axis=1)
+    X = db.X
+    inside = jnp.all((X >= lb[None, :]) & (X <= ub[None, :]), axis=1)
     mask = valid_mask(db) & inside
     if exclude_index is not None:
-        mask = mask & (jnp.arange(db.X.shape[0]) != exclude_index)
+        mask = mask & (jnp.arange(X.shape[0]) != exclude_index)
     return mask
 
 
 def get_rows(db: Database, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Gather (sites, values) for index array ``idx``; idx < 0 gives zeros."""
-    safe = jnp.clip(idx, 0, db.X.shape[0] - 1)
+    safe = jnp.clip(idx, 0, db.data.shape[0] - 1)
     ok = (idx >= 0)[:, None]
-    return jnp.where(ok, db.X[safe], 0.0), jnp.where(ok, db.Y[safe], 0.0)
+    rows = jnp.where(ok, db.data[safe], 0.0)
+    return rows[:, : db.n], rows[:, db.n: db.n + db.m]
 
 
 def compact_to_row(db: Database, idx) -> Database:
@@ -168,19 +212,24 @@ def compact_to_row(db: Database, idx) -> Database:
     the current iterate's row at the start of every iteration. ``idx < 0``
     empties the database."""
     keep = jnp.asarray(idx) >= 0
-    safe = jnp.clip(idx, 0, db.X.shape[0] - 1)
-    return Database(
-        X=db.X.at[0].set(db.X[safe]),
-        Y=db.Y.at[0].set(db.Y[safe]),
-        evaluated=jnp.zeros_like(db.evaluated).at[0].set(
-            keep & db.evaluated[safe]),
-        count=jnp.where(keep, 1, 0).astype(jnp.int32),
-    )
+    safe = jnp.clip(idx, 0, db.data.shape[0] - 1)
+    row = db.data[safe]
+    flag_col = db.n + db.m
+    row = row.at[flag_col].set(jnp.where(keep, row[flag_col], 0.0))
+    data = db.data.at[0].set(row)
+    # invalidate the evaluated flag of stale rows (validity is count-driven,
+    # so clearing the flag column is enough to keep the views consistent)
+    data = data.at[1:, flag_col].set(0.0)
+    return dataclasses.replace(
+        db, data=data, count=jnp.where(keep, 1, 0).astype(jnp.int32))
 
 
 def rescale(db: Database, old_scale, old_offset, new_scale, new_offset) -> Database:
     """Re-transform stored sites when the variable scaler changes
     (``transform!/untransform!``, ``Databases.jl`` + ``algorithm.jl:661-679``)."""
-    X_unscaled = (db.X - old_offset[None, :]) / old_scale[None, :]
+    X = db.X
+    X_unscaled = (X - old_offset[None, :]) / old_scale[None, :]
     X_new = X_unscaled * new_scale[None, :] + new_offset[None, :]
-    return db._replace(X=jnp.where(valid_mask(db)[:, None], X_new, db.X))
+    X_sel = jnp.where(valid_mask(db)[:, None], X_new, X)
+    data = jnp.concatenate([X_sel, db.data[:, db.n:]], axis=1)
+    return dataclasses.replace(db, data=data)

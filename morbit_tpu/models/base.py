@@ -80,3 +80,25 @@ class SurrogateOps:
 
     def set_fully_linear(self, state, val):
         return state
+
+    # ---- criticality-loop carry splitting (perf; see
+    # ``Solver._criticality_and_trial``). ``fit`` recomputes the fitted
+    # coefficients as a pure function of (meta, db, ctx), so the fitted part
+    # does not need to cross while-loop boundaries (TPU alternate-memory
+    # copy stalls are per carried buffer — CLAUDE.md perf notes).
+    def split_fit(self, model):
+        """(meta, fitted): split the model into the part that must be
+        carried through the criticality rebuild loop (inputs of
+        prepare/improve and the fixpoint test) and the refittable part.
+        Default: everything is meta (nothing saved)."""
+        return model, None
+
+    def with_placeholder_fit(self, meta):
+        """Rebuild a structurally valid model from carried meta with a
+        placeholder fitted part; callers must re-run ``fit`` before
+        evaluating the model."""
+        return meta
+
+    def attach_fit(self, meta, fitted):
+        """Inverse of :meth:`split_fit`."""
+        return meta

@@ -244,6 +244,36 @@ class SurrogateContainer:
             out.append(st._replace(model=model))
         return tuple(out)
 
+    # ------------------------------------------- criticality-loop carry split
+    def strip_fits(self, states):
+        """Drop the refittable model parts from a group-state tuple (smaller
+        while-loop carries; see ``SurrogateOps.split_fit``)."""
+        return tuple(st._replace(model=ops.split_fit(st.model)[0])
+                     for ops, st in zip(self.ops, states))
+
+    def unstrip_fits(self, states):
+        """Re-attach placeholder fitted parts (structurally valid for
+        prepare/improve; re-run ``fit`` before evaluating)."""
+        return tuple(st._replace(model=ops.with_placeholder_fit(st.model))
+                     for ops, st in zip(self.ops, states))
+
+    def refit(self, states, x_s, x_indices, delta, scal=None, key=None):
+        """Recompute the fitted parts dropped by :meth:`strip_fits` —
+        ``fit`` is a pure function of (meta, db, ctx), so this reproduces
+        the models bit-identically. Groups whose ops do not split carry
+        complete models and are left untouched."""
+        from morbit_tpu.models.base import SurrogateOps as _Base
+
+        ctxs = self._contexts(states, x_s, x_indices, delta, scal, key)
+        out = []
+        for ops, st, ctx in zip(self.ops, states, ctxs):
+            if type(ops).split_fit is _Base.split_fit:
+                out.append(st)  # carried model is already complete
+                continue
+            model = ops.fit(ops.with_placeholder_fit(st.model), st.db, ctx)
+            out.append(st._replace(model=model))
+        return tuple(out)
+
     # ------------------------------------------------------------- model evals
     def _gather(self, states, x_s, which, role, counted=True, scal=None):
         """Evaluate/differentiate group models, scatter into a role vector."""

@@ -26,8 +26,8 @@ direction per call. Fitting replaces ``RBF.RBFInterpolationModel``
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,14 +49,62 @@ from morbit_tpu.ops.rbf import (
 )
 
 
-class RbfState(NamedTuple):
-    idx: jax.Array          # (cap_train,) int32 training rows; slot 0 = center
-    n_train: jax.Array      # int32
-    fully_linear: jax.Array  # bool
-    dirs: jax.Array         # (n, n) improving directions (rows, consumption order)
-    dirs_head: jax.Array    # int32 next direction to consume
-    dirs_count: jax.Array   # int32 valid directions
-    fit: RbfFit
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RbfState:
+    """RBF model state.
+
+    Int bookkeeping is PACKED into one ``meta`` vector (TPU perf: every
+    while-loop-carried buffer pays a fixed alternate-memory copy stall —
+    tools/profile_trace.py); layout ``[idx (cap_train,) | n_train |
+    fully_linear | dirs_head | dirs_count]``. Named views + ``_replace``
+    keep the logical field API."""
+
+    meta: jax.Array   # (cap_train + 4,) int32
+    dirs: jax.Array   # (n, n) improving directions (rows, consumption order)
+    fit: RbfFit | None
+    cap_train: int
+
+    _INT_COLS = {"n_train": 0, "fully_linear": 1, "dirs_head": 2,
+                 "dirs_count": 3}
+
+    def tree_flatten(self):
+        return (self.meta, self.dirs, self.fit), (self.cap_train,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0])
+
+    @property
+    def idx(self):
+        return self.meta[..., : self.cap_train]
+
+    @property
+    def n_train(self):
+        return self.meta[..., self.cap_train + 0]
+
+    @property
+    def fully_linear(self):
+        return self.meta[..., self.cap_train + 1] > 0
+
+    @property
+    def dirs_head(self):
+        return self.meta[..., self.cap_train + 2]
+
+    @property
+    def dirs_count(self):
+        return self.meta[..., self.cap_train + 3]
+
+    def _replace(self, **kw):
+        meta = kw.pop("meta", self.meta)
+        if "idx" in kw:
+            meta = meta.at[..., : self.cap_train].set(
+                jnp.asarray(kw.pop("idx"), jnp.int32))
+        for name, col in self._INT_COLS.items():
+            if name in kw:
+                meta = meta.at[..., self.cap_train + col].set(
+                    jnp.asarray(kw.pop(name), jnp.int32))
+        return dataclasses.replace(self, meta=meta, **kw)
 
 
 def _masked_append(buf, count, src, src_count):
@@ -70,6 +118,117 @@ def _masked_append(buf, count, src, src_count):
     sel = take[:, None] & (k[:, None] == jnp.arange(src.shape[0])[None, :])
     vals = jnp.sum(jnp.where(sel, src[None, :], 0), axis=1).astype(buf.dtype)
     return jnp.where(take, vals, buf), count + src_count
+
+
+def rbf_selection_core(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *,
+                       n, theta_e1, theta_e2_dmax, theta_pivot,
+                       delta_max, skip2_same_theta, ensure_fully_linear):
+    """Rounds 1-3 training-set SELECTION (pure, single-lane).
+
+    The data-flow-heavy part of :meth:`RbfOps.prepare` — everything except
+    database writes, index assembly, and round 4 — extracted so the batched
+    path can run it as ONE fused Pallas kernel over lane tiles (the ~50
+    sequential micro-kernels this lowers to under plain vmap are
+    launch-latency-bound: ~2.9 ms/pass at B=1024 on v5e,
+    tools/profile_pass.py). Both the plain-XLA and the Pallas path execute
+    THIS function, so there is no duplicate logic to drift.
+
+    Returns (r1_idx, r1_cnt, r2_idx, r2_cnt, sites3, active3, n_new, dirs,
+    dirs_count, fully_linear)."""
+    dt = X.dtype
+    cap = X.shape[0]
+    delta_1 = jnp.asarray(theta_e1, dt) * delta
+    lb1 = jnp.maximum(lb_s, x_s - delta_1)
+    ub1 = jnp.minimum(ub_s, x_s + delta_1)
+    piv1 = jnp.asarray(theta_pivot, dt) * delta_1
+
+    rows = jnp.arange(cap)
+    valid = rows < count
+    in1 = jnp.all((X >= lb1[None, :]) & (X <= ub1[None, :]), axis=1)
+    cand1 = valid & in1 & (rows != x_index)
+
+    # ---- round 1
+    sel1 = affinely_independent_points(x_s, X, cand1, piv1, n)
+    dirs, dirs_count = improving_directions_from(sel1.Z, sel1.k)
+    r1_idx, r1_cnt = sel1.order, sel1.n_picked
+    n_missing1 = n - r1_cnt
+
+    # ---- round 2 (skipped statically under ensure_fully_linear, ``:588``)
+    if ensure_fully_linear:
+        r2_cnt = jnp.asarray(0, jnp.int32)
+        r2_idx = -jnp.ones((n,), jnp.int32)
+        fl_after2 = jnp.asarray(True)
+    else:
+        delta_2 = jnp.asarray(theta_e2_dmax, dt)
+        lb2 = jnp.maximum(lb_s, x_s - delta_2)
+        ub2 = jnp.minimum(ub_s, x_s + delta_2)
+        in2 = jnp.all((X >= lb2[None, :]) & (X <= ub2[None, :]), axis=1)
+        cand2 = valid & in2 & (rows != x_index) & (~cand1)
+        sel2 = affinely_independent_points(
+            x_s, X, cand2, piv1, n_missing1, Y_init=sel1.Y, k_init=sel1.k)
+        skip2 = n_missing1 == 0
+        if skip2_same_theta:
+            skip2 = skip2 | jnp.isclose(delta, jnp.asarray(delta_max, dt))
+        r2_cnt = jnp.where(skip2, 0, sel2.n_picked)
+        r2_idx = sel2.order
+        fl_after2 = skip2
+    n_missing2 = n_missing1 - r2_cnt
+
+    def round3_proposal(dirs_, dirs_count_, n_missing_, max_new_):
+        n_new_ = jnp.clip(n_missing_, 0, jnp.maximum(max_new_, 0))
+
+        def per_slot(d):
+            # vmapped over the direction ROWS (no traced-index gather —
+            # Pallas-lowerable; slot i maps to row i exactly as before)
+            ln = intersect_box(x_s, d, lb1, ub1, ret_mode="absmax")
+            offset = ln * d
+            ok = jnp.max(jnp.abs(offset)) > piv1
+            return x_s + offset, ok
+
+        sites, ok = jax.vmap(per_slot)(dirs_)
+        active = jnp.arange(n) < n_new_
+        any_fail = jnp.any(active & (~ok))
+        covers = n_new_ >= n_missing_
+        return sites, active, ok, any_fail, covers, n_new_
+
+    # ---- round 3 normal proposal
+    (s3, act3, ok3, fail3, covers3, n_new3) = round3_proposal(
+        dirs, dirs_count, n_missing2, max_new)
+
+    if ensure_fully_linear:
+        # coordinate-axis rebuild proposal (``:564-570`` + recursion ``:633``)
+        from morbit_tpu.ops.affine import _eye
+        dirs_cb = _eye(n, dt)
+        (s3c, act3c, ok3c, _, covers3c, n_new3c) = round3_proposal(
+            dirs_cb, jnp.asarray(n, jnp.int32), jnp.asarray(n, jnp.int32),
+            max_new)
+
+        rebuild = fail3
+        pick = lambda a, b: jnp.where(rebuild, a, b)
+        # boolean selects via algebra, not where-on-bools (Mosaic cannot
+        # select i1 vectors in the fused Pallas prepare kernel)
+        bpick = lambda a, b: (rebuild & a) | ((~rebuild) & b)
+        r1_cnt = pick(0, r1_cnt)
+        r2_cnt = pick(0, r2_cnt)
+        sites3 = jnp.where(rebuild, s3c, s3)
+        active3 = bpick(act3c, act3)
+        ok3 = bpick(ok3c, ok3)
+        n_new = pick(n_new3c, n_new3)
+        dirs = pick(dirs_cb, dirs)
+        dirs_count = pick(n, dirs_count)
+        round3_ran = rebuild | (n_missing2 > 0)
+        fl3 = bpick(covers3c, covers3) & jnp.all(ok3 | (~active3))
+    else:
+        sites3, active3, n_new = s3, act3, n_new3
+        round3_ran = n_missing2 > 0
+        fl3 = covers3 & jnp.all(ok3 | (~act3))
+    fully_linear = ((round3_ran & fl3 & (r2_cnt == 0))
+                    | ((~round3_ran) & fl_after2))
+
+    return (r1_idx, r1_cnt.astype(jnp.int32), r2_idx,
+            jnp.asarray(r2_cnt, jnp.int32), sites3, active3,
+            jnp.asarray(n_new, jnp.int32), dirs,
+            jnp.asarray(dirs_count, jnp.int32), fully_linear)
 
 
 class RbfOps(SurrogateOps):
@@ -92,6 +251,15 @@ class RbfOps(SurrogateOps):
         else:
             self._param_fn = None
             self._static_param = sp
+        #: batched rounds-1-3 selection as one fused Pallas kernel (f32 TPU
+        #: multistart path); plain vmap of the same core otherwise
+        self._selection = {}
+        if cfg.optimized_sampling:
+            from morbit_tpu.ops.prepare_fused import make_batched_selection
+
+            for efl in (False, True):
+                self._selection[efl] = make_batched_selection(
+                    n_vars, dtype, ac, cfg, efl)
 
     def _resolve_param(self, delta):
         """Shape parameter, possibly Delta-dependent (``RbfModel.jl:665-690``)."""
@@ -105,19 +273,14 @@ class RbfOps(SurrogateOps):
         pd = poly_dim(n, self.poly_deg)
         cap = self.cap_train
         return RbfState(
-            idx=jnp.zeros((cap,), jnp.int32),
-            n_train=jnp.asarray(0, jnp.int32),
-            fully_linear=jnp.asarray(False),
+            meta=jnp.zeros((cap + 4,), jnp.int32),
             dirs=jnp.zeros((n, n), dt),
-            dirs_head=jnp.asarray(0, jnp.int32),
-            dirs_count=jnp.asarray(0, jnp.int32),
             fit=RbfFit(
-                sites=jnp.zeros((cap, n), dt),
-                mask=jnp.zeros((cap,), bool),
-                w=jnp.zeros((cap, m), dt),
-                lam=jnp.zeros((pd, m), dt),
-                param=jnp.asarray(1.0, dt),
+                fdata=jnp.zeros((cap, n + m + 1), dt),
+                flam=jnp.zeros((pd + 1, m), dt),
+                n=n, m=m,
             ),
+            cap_train=cap,
         )
 
     # ------------------------------------------------------------------ phase 1
@@ -207,73 +370,18 @@ class RbfOps(SurrogateOps):
         piv1 = jnp.asarray(cfg.theta_pivot, dt) * delta_1
         delta_2 = jnp.asarray(cfg.theta_enlarge_2 * self.ac.delta_max, dt)
         lb2, ub2 = local_bounds(x, delta_2, ctx.scal.lb_scaled, ctx.scal.ub_scaled)
-        piv2 = piv1  # (``RbfModel.jl:560``)
 
         num_unevaluated = jnp.sum(dbm.valid_mask(db) & (~db.evaluated)).astype(jnp.int32)
         budget = min(self.ac.max_evals, self.group.max_evals)
         max_new = jnp.asarray(budget, jnp.int32) - 1 - ctx.n_evals - num_unevaluated
 
         if cfg.optimized_sampling:
-            # ---- round 1
-            cand1 = dbm.results_in_box(db, lb1, ub1, exclude_index=ctx.x_index)
-            sel1 = affinely_independent_points(x, db.X, cand1, piv1, n)
-            dirs, dirs_count = improving_directions_from(sel1.Z, sel1.k)
-            r1_idx, r1_cnt = sel1.order, sel1.n_picked
-            n_missing1 = n - r1_cnt
-
-            # ---- round 2 (``:251-265``). With ensure_fully_linear the
-            # reference skips it unconditionally (``:588``) — and the flag is
-            # STATIC here, so the whole wider-box filter is omitted from the
-            # trace on the criticality-rebuild hot path instead of computed
-            # and masked.
-            if ensure_fully_linear:
-                r2_cnt = jnp.asarray(0, jnp.int32)
-                r2_idx = -jnp.ones((n,), jnp.int32)
-                fl_after2 = jnp.asarray(True)
-            else:
-                cand2 = dbm.results_in_box(db, lb2, ub2, exclude_index=ctx.x_index) & (~cand1)
-                sel2 = affinely_independent_points(
-                    x, db.X, cand2, piv2, n_missing1, Y_init=sel1.Y, k_init=sel1.k)
-                delta_max = jnp.asarray(self.ac.delta_max, dt)
-                skip2 = n_missing1 == 0
-                if cfg.theta_enlarge_1 == cfg.theta_enlarge_2:
-                    skip2 = skip2 | jnp.isclose(delta, delta_max)
-                r2_cnt = jnp.where(skip2, 0, sel2.n_picked)
-                r2_idx = sel2.order
-                fl_after2 = skip2
-            n_missing2 = n_missing1 - r2_cnt
-
-            # ---- round 3 normal proposal
-            (s3, act3, ok3, fail3, covers3, n_new3) = self._round3_proposal(
-                x, dirs, dirs_count, n_missing2, max_new, lb1, ub1, piv1)
-
-            if ensure_fully_linear:
-                # coordinate-axis rebuild proposal (``:564-570`` + recursion
-                # ``:633``) — only reachable when ensure_fully_linear (static)
-                dirs_cb = jnp.eye(n, dtype=dt)
-                (s3c, act3c, ok3c, _, covers3c, n_new3c) = self._round3_proposal(
-                    x, dirs_cb, jnp.asarray(n, jnp.int32),
-                    jnp.asarray(n, jnp.int32), max_new, lb1, ub1, piv1)
-
-                rebuild = fail3
-
-                pick = lambda a, b: jnp.where(rebuild, a, b)
-                r1_cnt = pick(0, r1_cnt)
-                r2_cnt = pick(0, r2_cnt)
-                sites3 = jnp.where(rebuild, s3c, s3)
-                active3 = pick(act3c, act3)
-                ok3 = pick(ok3c, ok3)
-                n_new = pick(n_new3c, n_new3)
-                dirs = pick(dirs_cb, dirs)
-                dirs_count = pick(n, dirs_count)
-                round3_ran = jnp.where(rebuild, True, n_missing2 > 0)
-                fl3 = jnp.where(rebuild, covers3c, covers3) & jnp.all(ok3 | (~active3))
-            else:
-                sites3, active3, n_new = s3, act3, n_new3
-                round3_ran = n_missing2 > 0
-                fl3 = covers3 & jnp.all(ok3 | (~act3))
-            fully_linear = jnp.where(
-                round3_ran, fl3 & (r2_cnt == 0), fl_after2)
+            # rounds 1-3 selection — one fused call (Pallas-tiled when the
+            # solve is vmapped on the f32 TPU path; plain XLA otherwise)
+            (r1_idx, r1_cnt, r2_idx, r2_cnt, sites3, active3, n_new, dirs,
+             dirs_count, fully_linear) = self._selection[bool(ensure_fully_linear)](
+                db.X, db.count, x, ctx.x_index, delta,
+                ctx.scal.lb_scaled, ctx.scal.ub_scaled, max_new)
         else:
             # non-optimized sampling: always rebuild along coordinate axes
             # (``RbfModel.jl:564-570``; round 2 skipped, round 4 skipped)
@@ -444,3 +552,16 @@ class RbfOps(SurrogateOps):
 
     def set_fully_linear(self, state, val):
         return state._replace(fully_linear=jnp.asarray(val))
+
+    # ---- criticality-loop carry splitting: ``fit`` is a pure function of
+    # (idx, n_train, db, ctx), so the 5 RbfFit buffers (sites/mask/w/lam/
+    # param) stay out of the while-loop carry (``None`` is an empty pytree
+    # subtree — the carried structure simply lacks those leaves)
+    def split_fit(self, state):
+        return state._replace(fit=None), state.fit
+
+    def with_placeholder_fit(self, meta):
+        return meta._replace(fit=self.init_state().fit)
+
+    def attach_fit(self, meta, fitted):
+        return meta._replace(fit=fitted)

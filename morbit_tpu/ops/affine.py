@@ -29,6 +29,70 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+#: kernel-safe mode — set (trace-time) by ops.prepare_fused while tracing
+#: the fused Pallas prepare kernel: Mosaic cannot lower batched
+#: ``dot_general``/``linalg.norm``, so the tiny static-dim contractions
+#: below switch to explicit mul-sum forms. The ALGORITHM is shared between
+#: both paths; only the contraction primitive differs (float64 golden runs
+#: always take the plain primitives).
+KERNEL_SAFE = False
+
+
+def _vdot(a, b):
+    if KERNEL_SAFE:
+        return jnp.sum(a * b)
+    return a @ b
+
+
+def _vecmat(v, A):
+    """v @ A for (k,) @ (k, m)."""
+    if KERNEL_SAFE:
+        return jnp.sum(v[:, None] * A, axis=0)
+    return v @ A
+
+
+def _matvec(A, v):
+    """A @ v for (m, k) @ (k,)."""
+    if KERNEL_SAFE:
+        return jnp.sum(A * v[None, :], axis=1)
+    return A @ v
+
+
+def _matmul_small(A, B):
+    """A @ B for (m, k) @ (k, p) with tiny static p (column loop)."""
+    if KERNEL_SAFE:
+        return jnp.stack(
+            [jnp.sum(A * B[:, j][None, :], axis=1)
+             for j in range(B.shape[1])], axis=1)
+    return A @ B
+
+
+def _norm(x):
+    if KERNEL_SAFE:
+        return jnp.sqrt(jnp.sum(x * x))
+    return jnp.linalg.norm(x)
+
+
+def _eye(n, dtype):
+    """Identity built from iota comparisons: Pallas kernels cannot capture
+    array constants (and ``jnp.eye`` would be one)."""
+    if KERNEL_SAFE:
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        return (r == c).astype(dtype)
+    return jnp.eye(n, dtype=dtype)
+
+
+def _rev_eye(n, dtype):
+    """Reversal permutation matrix R[i, k] = [k == n-1-i]."""
+    if KERNEL_SAFE:
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        return (r + c == n - 1).astype(dtype)
+    import numpy as np
+
+    return jnp.asarray(np.eye(n)[::-1], dtype)
+
 
 def householder_q(Y: jax.Array, k) -> jax.Array:
     """Full Q factor of the unpivoted Householder QR of ``Y[:, :k]``.
@@ -39,30 +103,30 @@ def householder_q(Y: jax.Array, k) -> jax.Array:
     """
     n, kmax = Y.shape
     dtype = Y.dtype
-    Q = jnp.eye(n, dtype=dtype)
+    Q = _eye(n, dtype)
     A = Y
 
-    def body(j, carry):
-        A, Q = carry
+    # static Python loop (not an unrolled fori): every index below is a
+    # Python int, so no dynamic_slice appears — required for the Pallas
+    # lowering of the fused prepare kernel (ops/prepare_fused.py), and
+    # numerically identical ops in the same order on the plain path
+    for j in range(kmax):
         col = A[:, j]
         # zero out entries above the diagonal
         idx = jnp.arange(n)
         x = jnp.where(idx >= j, col, 0.0)
-        normx = jnp.linalg.norm(x)
+        normx = _norm(x)
         x1 = col[j]
         # LAPACK convention: alpha = -sign(x1)*||x||
         sgn = jnp.where(x1 >= 0, 1.0, -1.0).astype(dtype)
         alpha = -sgn * normx
         v = x - alpha * (idx == j).astype(dtype)
-        vnorm2 = v @ v
+        vnorm2 = _vdot(v, v)
         active = (j < k) & (vnorm2 > 0) & (normx > 0)
         beta = jnp.where(active, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0), 0.0)
         # H = I - beta v v';   A <- H A,  Q <- Q H
-        A = A - beta * jnp.outer(v, v @ A)
-        Q = Q - beta * jnp.outer(Q @ v, v)
-        return A, Q
-
-    A, Q = jax.lax.fori_loop(0, kmax, body, (A, Q), unroll=True)
+        A = A - beta * jnp.outer(v, _vecmat(v, A))
+        Q = Q - beta * jnp.outer(_matvec(Q, v), v)
     return Q
 
 
@@ -106,64 +170,60 @@ def affinely_independent_points(
     n = x0.shape[0]
     dtype = x0.dtype
     max_seeds = seeds.shape[0]
-    shifted = (seeds - x0[None, :]) * seed_mask[:, None].astype(dtype)
+    # cast before the minor-dim insert: Mosaic cannot reshape i1 vectors
+    shifted = (seeds - x0[None, :]) * seed_mask.astype(dtype)[:, None]
 
     Y0 = jnp.zeros((n, n), dtype) if Y_init is None else Y_init
     k0 = jnp.asarray(k_init, jnp.int32)
     Z0 = orthogonal_complement(Y0, k0)
 
-    def pick_body(i, carry):
-        selected, order, n_picked, Y, k, Z, done = carry
+    # static Python loop with one-hot/where writes only (no dynamic_slice /
+    # dynamic_update_slice / traced gathers): required for the Pallas
+    # lowering of the fused prepare kernel (ops/prepare_fused.py). Every
+    # substitution is exact: integer/boolean selects, ``score[best]`` ->
+    # ``max(score)`` (equal by definition), and the one-hot row gather sums
+    # a single value with zeros.
+    selected = jnp.zeros((max_seeds,), bool)
+    order = -jnp.ones((n,), jnp.int32)
+    n_picked = jnp.asarray(0, jnp.int32)
+    Y, k, Z = Y0, k0, Z0
+    done = jnp.asarray(False)
+    seed_ids = jnp.arange(max_seeds)
+    slot_ids = jnp.arange(n)
 
+    for _ in range(n):
         avail = seed_mask & (~selected)
         # projection scores; the very first pick of this call scores by plain
         # shifted inf-norm and skips the pivot test (reference ":51-69")
         first = n_picked == 0
-        col_mask = (jnp.arange(n) >= k).astype(dtype)
+        col_mask = (slot_ids >= k).astype(dtype)
         Zm = Z * col_mask[None, :]
-        proj = shifted @ Zm            # (max_seeds, n): (s-x0)' Z
-        proj_back = proj @ Zm.T        # Z (Z'(s-x0)) rows
+        proj = _matmul_small(shifted, Zm)  # (max_seeds, n): (s-x0)' Z
+        proj_back = _matmul_small(proj, Zm.T)  # Z (Z'(s-x0)) rows
         score_proj = jnp.max(jnp.abs(proj_back), axis=1)
         score_norm = jnp.max(jnp.abs(shifted), axis=1)
         score = jnp.where(first, score_norm, score_proj)
         score = jnp.where(avail, score, -jnp.inf)
 
-        best = jnp.argmax(score)
-        best_val = score[best]
+        best = jnp.argmax(score).astype(jnp.int32)
+        best_val = jnp.max(score)
         have_any = jnp.any(avail)
-        passes = jnp.where(first, have_any, have_any & (best_val > pivot_val))
+        # boolean algebra, not where-on-bools (Mosaic cannot select i1)
+        passes = have_any & (first | (best_val > pivot_val))
         accept = passes & (~done) & (n_picked < n_pick) & (k < n)
 
-        selected = selected.at[best].set(jnp.where(accept, True, selected[best]))
-        order = order.at[n_picked].set(
-            jnp.where(accept, best.astype(jnp.int32), order[n_picked])
-        )
-        newY = Y.at[:, k].set(shifted[best])
-        Y = jnp.where(accept, newY, Y)
+        onehot = seed_ids == best
+        # (cap, 1) mask born 2-D (no i1 reshape — Mosaic limitation)
+        best_row = jnp.sum(
+            jnp.where(seed_ids[:, None] == best, shifted, 0.0), axis=0)
+        selected = selected | (onehot & accept)
+        order = jnp.where((slot_ids == n_picked) & accept, best, order)
+        Y = jnp.where((slot_ids[None, :] == k) & accept, best_row[:, None], Y)
         k_new = jnp.where(accept, k + 1, k)
         Z = jnp.where(accept, orthogonal_complement(Y, k_new), Z)
+        k = k_new
         n_picked = jnp.where(accept, n_picked + 1, n_picked)
         done = done | (~accept)
-        return selected, order, n_picked, k_new, Y, k_new, Z, done
-
-    # re-pack carry order (k duplicated above by mistake-proofing); use scan-safe tuple
-    def body(i, carry):
-        selected, order, n_picked, Y, k, Z, done = carry
-        out = pick_body(i, (selected, order, n_picked, Y, k, Z, done))
-        selected, order, n_picked, _, Y, k, Z, done = out
-        return selected, order, n_picked, Y, k, Z, done
-
-    carry = (
-        jnp.zeros((max_seeds,), bool),
-        -jnp.ones((n,), jnp.int32),
-        jnp.asarray(0, jnp.int32),
-        Y0,
-        k0,
-        Z0,
-        jnp.asarray(False),
-    )
-    carry = jax.lax.fori_loop(0, n, body, carry, unroll=True)
-    selected, order, n_picked, Y, k, Z, _ = carry
     return AffineSelection(selected, order, n_picked, Y, k, Z)
 
 
@@ -176,6 +236,11 @@ def improving_directions_from(Z: jax.Array, k) -> tuple[jax.Array, jax.Array]:
     ``n - k``.
     """
     n = Z.shape[0]
-    dirs = Z[:, ::-1].T  # row i = column n-1-i
+    # row i = column n-1-i. One-hot contraction with the constant reversal
+    # matrix (lax.rev / concatenate are not lowerable in the fused Pallas
+    # prepare kernel); exact: each output element sums one value with zeros.
+    R = _rev_eye(n, Z.dtype)                     # R[i, k] = [k == n-1-i]
+    # dirs[i, j] = sum_k R[i, k] Z[j, k] = Z[j, n-1-i]  (no transpose op)
+    dirs = jnp.sum(R[:, None, :] * Z[None, :, :], axis=2)
     count = (n - k).astype(jnp.int32)
     return dirs, count

@@ -1,0 +1,228 @@
+"""Batched RBF rounds-1-3 selection as ONE Pallas kernel over lane tiles.
+
+The selection logic (`rbf_selection_core`) lowers under plain ``vmap`` to
+~50 sequential micro-kernels per call — greedy picks, Householder updates,
+argmaxes on (B, cap)/(B, n, n) operands — which are pure launch latency at
+multistart batch sizes (~2.9 ms/pass at B=1024 on v5e,
+tools/profile_pass.py). Here the whole selection runs as ONE lane-tiled
+Pallas kernel: one launch, all intermediates in VMEM, grid over batch
+tiles. The kernel body is the coordinate-sliced re-expression of the core
+(`ops/prepare_coord.selection_coord_batched` — batch on the 128-wide lane
+axis; naive vmap-of-core inside the kernel measured ~15x SLOWER than plain
+XLA from lane padding at small n). Equivalence of the two expressions is
+pinned by tests/test_prepare_fused.py.
+
+Routing happens at the vmap boundary via a raw primitive with an explicit
+batching rule: unbatched calls (single sequential solves, float64 golden
+runs) take the plain core; a vmapped solve on the float32 TPU path swaps
+in the Pallas kernel. The solver itself never changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: test hook: run the Pallas path in interpreter mode on CPU
+FORCE_INTERPRET = False
+#: escape hatch: disable the Pallas path entirely
+DISABLE = False
+
+import os as _os
+_TILE = int(_os.environ.get("MORBIT_PREPARE_TILE", "128"))
+
+
+def _pallas_ok(dtype) -> bool:
+    if DISABLE:
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if FORCE_INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pallas_selection(statics, B, cap, n, X, count, x_s, x_index, delta,
+                      lb_s, ub_s, max_new):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from morbit_tpu.ops.prepare_coord import selection_coord_batched
+
+    dtype = X.dtype
+    tile = min(_TILE, B) if B % min(_TILE, B) == 0 else None
+    if tile is None:
+        # pad the batch to a tile multiple with copies of lane 0
+        tile = min(_TILE, 1 << (B - 1).bit_length())
+        padded = ((B + tile - 1) // tile) * tile
+    else:
+        padded = B
+    pad = padded - B
+
+    def p(a):
+        if pad == 0:
+            return a
+        reps = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+        return jnp.concatenate([a, reps], axis=0)
+
+    col = lambda a, dt: jnp.asarray(a, dt).reshape((-1, 1))
+    # coordinate-major site block: lanes = database rows (cap), not n
+    X_t = jnp.swapaxes(X, 1, 2)  # (B, n, cap)
+    ins = (p(X_t), p(col(count, jnp.int32)), p(x_s),
+           p(col(x_index, jnp.int32)), p(col(delta, dtype)), p(lb_s),
+           p(ub_s), p(col(max_new, jnp.int32)))
+
+    grid = (padded // tile,)
+    row_spec = lambda w: pl.BlockSpec(
+        (tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cube_spec = lambda a, b: pl.BlockSpec(
+        (tile, a, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [cube_spec(n, cap), row_spec(1), row_spec(n), row_spec(1),
+                row_spec(1), row_spec(n), row_spec(n), row_spec(1)]
+    out_shapes = (
+        jax.ShapeDtypeStruct((padded, n), jnp.int32),      # r1_idx
+        jax.ShapeDtypeStruct((padded, 1), jnp.int32),      # r1_cnt
+        jax.ShapeDtypeStruct((padded, n), jnp.int32),      # r2_idx
+        jax.ShapeDtypeStruct((padded, 1), jnp.int32),      # r2_cnt
+        jax.ShapeDtypeStruct((padded, n, n), dtype),       # sites3
+        jax.ShapeDtypeStruct((padded, n), jnp.int32),      # active3
+        jax.ShapeDtypeStruct((padded, 1), jnp.int32),      # n_new
+        jax.ShapeDtypeStruct((padded, n, n), dtype),       # dirs
+        jax.ShapeDtypeStruct((padded, 1), jnp.int32),      # dirs_count
+        jax.ShapeDtypeStruct((padded, 1), jnp.int32),      # fully_linear
+    )
+    out_specs = (row_spec(n), row_spec(1), row_spec(n), row_spec(1),
+                 cube_spec(n, n), row_spec(n), row_spec(1),
+                 cube_spec(n, n), row_spec(1), row_spec(1))
+
+    def kernel(X_ref, cnt_ref, xs_ref, xi_ref, d_ref, lb_ref, ub_ref,
+               mn_ref, o_r1i, o_r1c, o_r2i, o_r2c, o_s3, o_a3, o_nn,
+               o_dirs, o_dc, o_fl):
+        (r1o, r1c, r2o, r2c, s3, a3, nn, dirs, dc, fl) = \
+            selection_coord_batched(
+                X_ref[:], cnt_ref[:, 0], xs_ref[:], xi_ref[:, 0],
+                d_ref[:, 0], lb_ref[:], ub_ref[:], mn_ref[:, 0],
+                n=n, cap=cap, dtype=dtype, **statics)
+        for s in range(n):
+            o_r1i[:, s] = r1o[s]
+            o_r2i[:, s] = r2o[s]
+            o_a3[:, s] = a3[s].astype(jnp.int32)
+            for i in range(n):
+                o_s3[:, s, i] = s3[s][i]
+                o_dirs[:, s, i] = dirs[s][i]
+        o_r1c[:, 0] = r1c
+        o_r2c[:, 0] = r2c
+        o_nn[:, 0] = nn
+        o_dc[:, 0] = dc
+        o_fl[:, 0] = fl.astype(jnp.int32)
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=bool(FORCE_INTERPRET),
+    )(*ins)
+
+    (r1i, r1c, r2i, r2c, s3, a3, nn, dirs, dc, fl) = outs
+    s = lambda a: a[:B]
+    return (s(r1i), s(r1c)[:, 0], s(r2i), s(r2c)[:, 0], s(s3),
+            s(a3) > 0, s(nn)[:, 0], s(dirs), s(dc)[:, 0], s(fl)[:, 0] > 0)
+
+
+def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
+    """Build the rounds-1-3 selection callable with custom batching.
+
+    Single-lane calls run :func:`rbf_selection_core` directly (the float64
+    golden path stays byte-for-byte on the pre-existing XLA lowering);
+    vmapped calls on the float32 TPU path run the fused Pallas kernel.
+
+    Implemented as a RAW primitive with an explicit batching rule (not
+    ``jax.custom_batching.custom_vmap``): the solver invokes this inside
+    ``lax.while_loop``/``lax.cond`` bodies, whose batching turns traced-out
+    jaxpr constants batched — custom_vmap asserts against exactly that."""
+    from jax.interpreters import batching, mlir
+
+    from morbit_tpu.models.rbf_model import rbf_selection_core
+
+    n = n_vars
+    core = partial(
+        rbf_selection_core,
+        n=n,
+        theta_e1=cfg.theta_enlarge_1,
+        theta_e2_dmax=cfg.theta_enlarge_2 * ac.delta_max,
+        theta_pivot=cfg.theta_pivot,
+        delta_max=ac.delta_max,
+        skip2_same_theta=(cfg.theta_enlarge_1 == cfg.theta_enlarge_2),
+        ensure_fully_linear=ensure_fully_linear,
+    )
+
+    statics = dict(
+        theta_e1=cfg.theta_enlarge_1,
+        theta_e2_dmax=cfg.theta_enlarge_2 * ac.delta_max,
+        theta_pivot=cfg.theta_pivot,
+        delta_max=ac.delta_max,
+        skip2_same_theta=(cfg.theta_enlarge_1 == cfg.theta_enlarge_2),
+        ensure_fully_linear=ensure_fully_linear,
+    )
+
+    import jax.extend.core as jex_core
+    from jax.core import ShapedArray
+
+    prim = jex_core.Primitive(
+        f"rbf_selection_n{n}_efl{int(bool(ensure_fully_linear))}")
+    prim.multiple_results = True
+
+    def _core_tuple(*args):
+        return list(core(*args))
+
+    prim.def_impl(_core_tuple)
+
+    @prim.def_abstract_eval
+    def _abs(X, count, x_s, x_index, delta, lb_s, ub_s, max_new):
+        dt = X.dtype
+        i32 = jnp.int32
+        return [
+            ShapedArray((n,), i32), ShapedArray((), i32),
+            ShapedArray((n,), i32), ShapedArray((), i32),
+            ShapedArray((n, n), dt), ShapedArray((n,), jnp.bool_),
+            ShapedArray((), i32), ShapedArray((n, n), dt),
+            ShapedArray((), i32), ShapedArray((), jnp.bool_),
+        ]
+
+    mlir.register_lowering(
+        prim, mlir.lower_fun(_core_tuple, multiple_results=True))
+
+    def _batch(args, dims):
+        size = next(a.shape[d] for a, d in zip(args, dims)
+                    if d is not batching.not_mapped)
+
+        def at0(a, d):
+            if d is batching.not_mapped:
+                return jnp.broadcast_to(a, (size,) + a.shape)
+            return jnp.moveaxis(a, d, 0)
+
+        args0 = tuple(at0(a, d) for a, d in zip(args, dims))
+        if _pallas_ok(dtype):
+            cap = args0[0].shape[1]
+            outs = _pallas_selection(statics, size, cap, n, *args0)
+        else:
+            outs = jax.vmap(core)(*args0)
+        return list(outs), [0] * 10
+
+    batching.primitive_batchers[prim] = _batch
+
+    def sel(X, count, x_s, x_index, delta, lb_s, ub_s, max_new):
+        return tuple(prim.bind(X, jnp.asarray(count, jnp.int32), x_s,
+                               jnp.asarray(x_index, jnp.int32), delta,
+                               lb_s, ub_s, jnp.asarray(max_new, jnp.int32)))
+
+    return sel

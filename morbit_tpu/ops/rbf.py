@@ -24,7 +24,7 @@ kernels below are written to be autodiff-safe at ``r = 0``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -91,14 +91,59 @@ def _pairwise_sqdist(S: jax.Array) -> jax.Array:
     return jnp.sum(d * d, axis=-1)
 
 
-class RbfFit(NamedTuple):
-    """Fitted coefficients of a (vector-valued) RBF interpolant."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RbfFit:
+    """Fitted coefficients of a (vector-valued) RBF interpolant.
 
-    sites: jax.Array    # (max_pts, n) training sites (copies, scaled space)
-    mask: jax.Array     # (max_pts,) bool validity
-    w: jax.Array        # (max_pts, m) kernel weights (0 on masked rows)
-    lam: jax.Array      # (poly_dim, m) polynomial tail coefficients
-    param: jax.Array    # shape parameter actually used
+    PACKED into two buffers (TPU perf: every while-loop-carried buffer pays
+    a fixed alternate-memory copy stall — tools/profile_trace.py):
+    ``fdata (max_pts, n+m+1) = [sites | w | mask]`` and
+    ``flam (poly_dim+1, m) = [lam ; param-row]``. The named views keep the
+    logical field API."""
+
+    fdata: jax.Array   # (max_pts, n + m + 1)
+    flam: jax.Array    # (poly_dim + 1, m)
+    n: int
+    m: int
+
+    def tree_flatten(self):
+        return (self.fdata, self.flam), (self.n, self.m)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @classmethod
+    def pack(cls, sites, mask, w, lam, param):
+        n = sites.shape[-1]
+        m = w.shape[-1]
+        dt = sites.dtype
+        fdata = jnp.concatenate(
+            [sites, w, jnp.asarray(mask, dt)[..., None]], axis=-1)
+        prow = jnp.broadcast_to(jnp.asarray(param, dt), (1, m))
+        flam = jnp.concatenate([jnp.asarray(lam, dt), prow], axis=-2)
+        return cls(fdata, flam, n, m)
+
+    @property
+    def sites(self):
+        return self.fdata[..., :, : self.n]
+
+    @property
+    def w(self):
+        return self.fdata[..., :, self.n: self.n + self.m]
+
+    @property
+    def mask(self):
+        return self.fdata[..., :, self.n + self.m] > 0.5
+
+    @property
+    def lam(self):
+        return self.flam[..., : self.flam.shape[-2] - 1, :]
+
+    @property
+    def param(self):
+        return self.flam[..., self.flam.shape[-2] - 1, 0]
 
 
 def fit_rbf(
@@ -206,7 +251,7 @@ def fit_rbf(
 
     w = jnp.where(mask[:, None], sol[:max_pts] / alpha, 0.0)
     lam = sol[max_pts:]
-    return RbfFit(sites=sites, mask=mask, w=w, lam=lam, param=param)
+    return RbfFit.pack(sites, mask, w, lam, param)
 
 
 def _eval_param(fit: RbfFit, kernel: str, param):

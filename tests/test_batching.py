@@ -54,9 +54,12 @@ def test_can_batch_one_call_per_batch():
     res_s = run(fn_single, False)
     # same reported eval counts (counters track semantic evaluations) ...
     assert int(res_b.n_evals) == int(res_s.n_evals)
-    # ... but far fewer physical calls with batching: eval_missing vmaps over
-    # the whole database per update, so sequential mode pays cap-many calls
-    assert fn_batched.calls < fn_single.calls / 4
+    # ... and host physical calls are MASKED to genuinely missing sites in
+    # both modes (round-3 ``eval_batch_masked`` parity): never MORE physical
+    # user-code calls than counted evaluations (XLA may CSE identical
+    # callback invocations, so physical <= counted, not ==)
+    assert 0 < fn_single.calls <= int(res_s.n_evals)
+    assert 0 < fn_batched.calls <= int(res_b.n_evals)
 
 
 def test_host_fd_jacobian():

@@ -38,9 +38,11 @@ def test_host_objective_calls_match_counter():
 
     res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=8, dtype=jnp.float64)
     # the host objective was inserted first; whether or not the two
-    # objectives share a group, the host function runs once per counted
-    # group-site evaluation
-    assert calls["n"] == int(res.state.groups[0].n_evals), (
+    # objectives share a group, the host function runs at most once per
+    # counted group-site evaluation (XLA may CSE identical callback
+    # invocations, so physical <= counted; strictly more physical calls
+    # than counted would be the round-2 advisor bug)
+    assert 0 < calls["n"] <= int(res.state.groups[0].n_evals), (
         calls, [int(st.n_evals) for st in res.state.groups])
     assert np.all(np.isfinite(np.asarray(res.x)))
 
@@ -66,7 +68,7 @@ def test_host_constrained_calls_match_counter():
 
     res = optimize(mop, jnp.array([-1.5, 1.0]), max_iter=6, dtype=jnp.float64)
     con_counter = int(res.state.groups[-1].n_evals)
-    assert calls["n"] == con_counter, (calls, con_counter)
+    assert 0 < calls["n"] <= con_counter, (calls, con_counter)
     assert np.all(np.isfinite(np.asarray(res.x)))
 
 
@@ -90,5 +92,5 @@ def test_host_can_batch_masked_eval_missing():
                       model_cfg=RbfConfig(kernel="multiquadric"))
 
     res = optimize(mop, jnp.array([-3.0, 2.5]), max_iter=6, dtype=jnp.float64)
-    assert seen["n"] == int(res.state.groups[0].n_evals), (
+    assert 0 < seen["n"] <= int(res.state.groups[0].n_evals), (
         seen, [int(st.n_evals) for st in res.state.groups])

@@ -48,7 +48,10 @@ def test_multistart_vmap_two_parabolas():
     assert np.all(np.asarray(res.stop_code) > 1)
 
 
-def test_multistart_sharded_mesh():
+def test_multistart_sharded_mesh_matches_unsharded():
+    """Sharded vmap is pure data parallelism over independent instances
+    (SURVEY §5.8) — the full-solve result pytree must equal the unsharded
+    run leaf for leaf."""
     mesh = default_mesh()
     assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
     mop = make_two_parabolas(lb=[-4.0, -4.0], ub=[4.0, 4.0])
@@ -57,6 +60,19 @@ def test_multistart_sharded_mesh():
     res = multistart_optimize(mop, x0, ac, dtype=jnp.float64, mesh=mesh)
     assert np.asarray(res.x).shape == (16, 2)
     assert np.all(np.isfinite(np.asarray(res.fx)))
+    ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    for a, b in zip(jax.tree_util.tree_leaves(res),
+                    jax.tree_util.tree_leaves(ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        # float64: ints exact, floats to 1e-12 (XLA may vectorize an op
+        # differently per local batch shape — measured 1-ulp scratch-leaf
+        # differences; f32 would diverge macroscopically via branch
+        # amplification — see dryrun_multichip)
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+        else:
+            np.testing.assert_array_equal(a, b)
 
 
 def test_zdt_exact_solve_runs():
