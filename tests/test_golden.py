@@ -63,6 +63,60 @@ def test_zdt1_rbf_trajectory_matches_golden():
     assert rep["parity"], rep
 
 
+def test_lagrange2_trajectory_matches_golden():
+    """Lagrange degree-2 lock (poised-set construction + static stamp path,
+    ``src/models/LagrangeModel.jl``); regenerate like the module docstring
+    with ``LagrangeConfig(degree=2)``."""
+    from morbit_tpu.models.configs import LagrangeConfig
+
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    cfg = LagrangeConfig(degree=2)
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    res = optimize(mop, jnp.array([-3.141592653589793, 2.71828]), max_iter=15)
+    doc = export_trajectory(res)
+    with open(os.path.join(os.path.dirname(__file__), "golden",
+                           "two_parabolas_lagrange2_f64.json")) as f:
+        golden = json.load(f)
+    rep = compare_trajectories(doc, golden, x_tol=1e-10)
+    assert rep["parity"], rep
+
+
+def test_taylor_fd2_trajectory_matches_golden():
+    """Taylor degree-2 finite-difference lock (2-phase FD stamps through the
+    database, ``src/models/TaylorModel.jl:70-93``)."""
+    from morbit_tpu.models.configs import TaylorConfig
+
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    cfg = TaylorConfig(degree=2, mode="fd")
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    res = optimize(mop, jnp.array([-3.141592653589793, 2.71828]), max_iter=15)
+    doc = export_trajectory(res)
+    with open(os.path.join(os.path.dirname(__file__), "golden",
+                           "two_parabolas_taylor_fd2_f64.json")) as f:
+        golden = json.load(f)
+    rep = compare_trajectories(doc, golden, x_tol=1e-10)
+    assert rep["parity"], rep
+
+
+def test_ps_descent_trajectory_matches_golden():
+    """Pascoletti-Serafini descent lock (Halton sweep + PGA subsolver,
+    ``src/descent.jl:404-510``)."""
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    cfg = RbfConfig(kernel="multiquadric")
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    res = optimize(mop, jnp.array([-3.141592653589793, 2.71828]), max_iter=15,
+                   descent_method="ps")
+    doc = export_trajectory(res)
+    with open(os.path.join(os.path.dirname(__file__), "golden",
+                           "two_parabolas_rbf_ps_f64.json")) as f:
+        golden = json.load(f)
+    rep = compare_trajectories(doc, golden, x_tol=1e-10)
+    assert rep["parity"], rep
+
+
 def test_constrained_filter_trajectory_matches_golden():
     """BASELINE config 4 lock: linear + NL inequality constraints with the
     filter/restoration machinery, f64."""
