@@ -267,6 +267,27 @@ class RbfOps(SurrogateOps):
             return self._param_fn(delta)
         return self._static_param
 
+    def _round4_callable(self, scan_cap):
+        """Routed round-4 acceptance (cached per candidate width)."""
+        key = ("r4", scan_cap)
+        fn = self._selection.get(key)
+        if fn is None:
+            from morbit_tpu.ops.prepare_fused import make_batched_round4
+
+            static_param = (self._static_param
+                            if self.kernel in ("cubic", "thin_plate_spline")
+                            else None)
+            fn = make_batched_round4(
+                n_vars=self.n_vars, C=scan_cap, dtype=self.dtype,
+                kernel=self.kernel, static_param=static_param,
+                poly_deg=self.poly_deg, max_points=self.max_points,
+                # run_round4 takes chol_pivot = theta^2 and tests
+                # tau2 > chol_pivot**2 (rbf_round4.py:98)
+                chol_pivot=self.cfg.theta_pivot_cholesky ** 2,
+            )
+            self._selection[key] = fn
+        return fn
+
     def init_state(self):
         n, m = self.n_vars, self.group.m
         dt = self.dtype
@@ -432,8 +453,6 @@ class RbfOps(SurrogateOps):
     def _round4(self, db, idx, count, lb2, ub2, ctx):
         """Accept extra in-box database points while the Cholesky factor of
         ``Z' Phi Z`` stays bounded (``_rbf_round4``, ``RbfModel.jl:352-499``)."""
-        from morbit_tpu.models.rbf_round4 import run_round4
-
         cap = db.X.shape[0]
         in_box = dbm.results_in_box(db, lb2, ub2)
         in_training = jnp.any(
@@ -456,18 +475,23 @@ class RbfOps(SurrogateOps):
 
         init_sites, _ = dbm.get_rows(db, idx)
         param = self._resolve_param(ctx.delta)
-        st4 = run_round4(
-            X_all, cand_all, init_sites, count,
-            kernel=self.kernel, param=param, poly_deg=self.poly_deg,
-            max_points=self.max_points,
-            chol_pivot=jnp.asarray(self.cfg.theta_pivot_cholesky ** 2, self.dtype),
-            max_candidates=min(cap, 10 * self.max_points) + n_rand,
-        )
+        # scan only the first max_candidates rows (matching run_round4's
+        # ``max_candidates`` bound) and route through the fused-kernel
+        # primitive: plain run_round4 single-lane / f64, one lane-tiled
+        # Pallas kernel for vmapped f32 TPU solves (ops/round4_coord.py)
+        scan_cap = min(X_all.shape[0],
+                       min(cap, 10 * self.max_points) + n_rand)
+        r4 = self._round4_callable(scan_cap)
+        accepted_scan, _ = r4(X_all[:scan_cap], cand_all[:scan_cap],
+                              init_sites, count,
+                              jnp.asarray(param, self.dtype))
+        accepted = jnp.zeros((X_all.shape[0],), bool
+                             ).at[:scan_cap].set(accepted_scan)
         # append accepted db rows in database (insertion) order — gather
         # formulation: slot j takes the row whose acceptance rank lands on j
         # (a scatter here lowered to a ~0.8 ms batched fusion on v5e;
         # broadcast+argmax is ~free)
-        acc_db = st4.accepted[:cap]
+        acc_db = accepted[:cap]
         pos = count + jnp.cumsum(acc_db.astype(jnp.int32)) - 1
         slots = jnp.arange(self.cap_train, dtype=jnp.int32)
         match = acc_db[None, :] & (pos[None, :] == slots[:, None])  # (cap_train, cap)
@@ -476,7 +500,7 @@ class RbfOps(SurrogateOps):
         count = count + jnp.sum(acc_db).astype(jnp.int32)
         # accepted random points become new unevaluated database sites
         if n_rand:
-            acc_r = st4.accepted[cap:]
+            acc_r = accepted[cap:]
 
             def add_rand(i, carry):
                 db, idx, count = carry

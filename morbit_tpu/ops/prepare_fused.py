@@ -26,13 +26,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 #: test hook: run the Pallas path in interpreter mode on CPU
 FORCE_INTERPRET = False
-#: escape hatch: disable the Pallas path entirely
-DISABLE = False
-
-import os as _os
+#: escape hatch: disable the Pallas path entirely (env for A/B profiling)
+DISABLE = bool(int(_os.environ.get("MORBIT_DISABLE_FUSED", "0")))
 _TILE = int(_os.environ.get("MORBIT_PREPARE_TILE", "128"))
+#: round-4 runs a much smaller batch tile: its wave loop is unrolled
+#: (max_points trips), so scoped VMEM holds every (T, C) slab of every
+#: live wave — T=128 measured 30.4M against the 16M scoped-vmem limit at
+#: n=2/C=60; VMEM scales linearly in T (T is the sublane axis, lane
+#: utilization is set by C, so small T costs only grid steps)
+_TILE_R4 = int(_os.environ.get("MORBIT_ROUND4_TILE", "32"))
+#: the fused round-4 kernel is OPT-IN: at the bench config it measured a
+#: NET REGRESSION over the vmapped XLA lowering (bench 5,561 vs 7,527
+#: runs/s) — the VMEM-forced small tile serializes 32 grid steps of a
+#: heavy unrolled wave loop per call. Kept for larger-C regimes; enable
+#: with MORBIT_R4_FUSED=1.
+R4_FUSED = bool(int(_os.environ.get("MORBIT_R4_FUSED", "0")))
 
 
 def _pallas_ok(dtype) -> bool:
@@ -136,6 +148,145 @@ def _pallas_selection(statics, B, cap, n, X, count, x_s, x_index, delta,
     s = lambda a: a[:B]
     return (s(r1i), s(r1c)[:, 0], s(r2i), s(r2c)[:, 0], s(s3),
             s(a3) > 0, s(nn)[:, 0], s(dirs), s(dc)[:, 0], s(fl)[:, 0] > 0)
+
+
+def _pallas_round4(statics, B, X_t, cand, sites0, count, param):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from morbit_tpu.ops.round4_coord import round4_coord_batched
+
+    n = statics["n"]
+    C = statics["C"]
+    maxN = statics["max_points"]
+    dtype = jnp.dtype(statics["dtype"])
+
+    tile = min(_TILE_R4, B) if B % min(_TILE_R4, B) == 0 else None
+    if tile is None:
+        tile = min(_TILE_R4, 1 << (B - 1).bit_length())
+        padded = ((B + tile - 1) // tile) * tile
+    else:
+        padded = B
+    pad = padded - B
+
+    def p(a):
+        if pad == 0:
+            return a
+        reps = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+        return jnp.concatenate([a, reps], axis=0)
+
+    col = lambda a, dt: jnp.asarray(a, dt).reshape((-1, 1))
+    ins = (p(X_t), p(cand.astype(jnp.int32)), p(sites0),
+           p(col(count, jnp.int32)), p(col(param, dtype)))
+
+    grid = (padded // tile,)
+    row_spec = lambda w: pl.BlockSpec(
+        (tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cube_spec = lambda a, b: pl.BlockSpec(
+        (tile, a, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [cube_spec(n, C), row_spec(C), cube_spec(maxN, n),
+                row_spec(1), row_spec(1)]
+    out_shapes = (
+        jax.ShapeDtypeStruct((padded, C), jnp.int32),   # accepted
+        jax.ShapeDtypeStruct((padded, 1), jnp.int32),   # N_final
+    )
+    out_specs = (row_spec(C), row_spec(1))
+
+    kstat = {k: statics[k] for k in
+             ("n", "C", "kernel", "static_param", "chol_pivot2",
+              "max_points")}
+
+    def kernel(X_ref, cand_ref, s0_ref, cnt_ref, par_ref, o_acc, o_n):
+        acc, Nf = round4_coord_batched(
+            X_ref[:], cand_ref[:] > 0, s0_ref[:], cnt_ref[:, 0],
+            par_ref[:, 0], maxN=maxN, pd=statics["pd"], dtype=dtype,
+            **kstat)
+        o_acc[:] = acc.astype(jnp.int32)
+        o_n[:, 0] = Nf
+
+    acc, Nf = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=bool(FORCE_INTERPRET),
+    )(*ins)
+    return acc[:B] > 0, Nf[:B, 0]
+
+
+def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
+                        max_points, chol_pivot):
+    """Build the round-4 acceptance callable with custom batching.
+
+    Single-lane calls run :func:`morbit_tpu.models.rbf_round4.run_round4`
+    directly (float64 golden paths keep the pre-existing XLA lowering);
+    vmapped calls on the float32 TPU path run the fused Pallas kernel over
+    lane tiles (``ops/round4_coord.py``). Same raw-primitive routing as
+    :func:`make_batched_selection`."""
+    from jax.interpreters import batching, mlir
+
+    import jax.extend.core as jex_core
+    from jax.core import ShapedArray
+
+    from morbit_tpu.ops.rbf import poly_dim
+
+    n = n_vars
+    maxN = max_points
+    pd = poly_dim(n, poly_deg)
+    statics = dict(n=n, C=C, maxN=maxN, pd=pd, kernel=kernel,
+                   static_param=static_param,
+                   chol_pivot2=float(chol_pivot) ** 2,
+                   max_points=max_points, dtype=jnp.dtype(dtype).name)
+
+    def _core(X, cand, sites0, count, param):
+        from morbit_tpu.models.rbf_round4 import run_round4
+
+        st = run_round4(
+            X, cand, sites0, count, kernel=kernel,
+            param=(param if static_param is None else static_param),
+            poly_deg=poly_deg, max_points=max_points,
+            chol_pivot=jnp.asarray(chol_pivot, X.dtype))
+        return [st.accepted, st.N]
+
+    prim = jex_core.Primitive(
+        f"rbf_round4_n{n}_c{C}_m{maxN}_{kernel}")
+    prim.multiple_results = True
+    prim.def_impl(_core)
+
+    @prim.def_abstract_eval
+    def _abs(X, cand, sites0, count, param):
+        return [ShapedArray((C,), jnp.bool_), ShapedArray((), jnp.int32)]
+
+    mlir.register_lowering(prim, mlir.lower_fun(_core, multiple_results=True))
+
+    def _batch(args, dims):
+        size = next(a.shape[d] for a, d in zip(args, dims)
+                    if d is not batching.not_mapped)
+
+        def at0(a, d):
+            if d is batching.not_mapped:
+                return jnp.broadcast_to(a, (size,) + a.shape)
+            return jnp.moveaxis(a, d, 0)
+
+        X, cand, sites0, count, param = (
+            at0(a, d) for a, d in zip(args, dims))
+        if R4_FUSED and _pallas_ok(dtype):
+            acc, Nf = _pallas_round4(statics, size,
+                                     jnp.swapaxes(X, 1, 2), cand, sites0,
+                                     count, param)
+        else:
+            acc, Nf = jax.vmap(_core)(X, cand, sites0, count, param)
+        return [acc, Nf], [0, 0]
+
+    batching.primitive_batchers[prim] = _batch
+
+    def r4(X, cand, sites0, count, param):
+        return tuple(prim.bind(
+            X, cand, sites0, jnp.asarray(count, jnp.int32),
+            jnp.asarray(param, dtype)))
+
+    return r4
 
 
 def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):

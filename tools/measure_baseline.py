@@ -49,15 +49,15 @@ from morbit_tpu.parallel.multistart import build_solver  # noqa: E402
 from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas  # noqa: E402
 
 
-def measure(max_iter: int, qp_iters: int, n_runs: int) -> dict:
+def measure(max_iter: int, qp_iters: int, n_runs: int,
+            dtype=jnp.float64) -> dict:
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
-    solver = build_solver(mop, ac, jnp.float64)
+    solver = build_solver(mop, ac, dtype)
     run = jax.jit(solver.solve)
 
-    starts = jnp.asarray(halton_starts(n_runs + 1, mop.lb, mop.ub),
-                         jnp.float64)
+    starts = jnp.asarray(halton_starts(n_runs + 1, mop.lb, mop.ub), dtype)
     # warmup / compile on a start not used in the timed loop
     jax.block_until_ready(run(starts[-1]).x)
 
@@ -67,7 +67,7 @@ def measure(max_iter: int, qp_iters: int, n_runs: int) -> dict:
     dt = time.perf_counter() - t0
     return {
         "config": {"max_iter": max_iter, "qp_iters": qp_iters,
-                   "dtype": "float64", "n_runs": n_runs,
+                   "dtype": jnp.dtype(dtype).name, "n_runs": n_runs,
                    "problem": "two_parabolas 2D, RbfConfig(multiquadric)"},
         "runs_per_sec": round(n_runs / dt, 4),
         "sec_per_run": round(dt / n_runs, 6),
@@ -77,8 +77,15 @@ def measure(max_iter: int, qp_iters: int, n_runs: int) -> dict:
 def main():
     bench_cfg = measure(max_iter=10, qp_iters=100, n_runs=64)
     default_cfg = measure(max_iter=100, qp_iters=400, n_runs=16)
+    # float32 denominators: the TPU numerator runs f32, so the dtype-matched
+    # single-core number is the apples-to-apples one (round-2 review: the
+    # f64 denominator is materially slower on CPU and inflates the ratio)
+    bench_cfg_f32 = measure(max_iter=10, qp_iters=100, n_runs=64,
+                            dtype=jnp.float32)
+    default_cfg_f32 = measure(max_iter=100, qp_iters=400, n_runs=16,
+                              dtype=jnp.float32)
     out = {
-        "methodology": "single-instance unvmapped f64 sequential runs of "
+        "methodology": "single-instance unvmapped sequential runs of "
                        "this solver on one CPU core (XLA CPU backend), "
                        "distinct Halton starts; see tools/measure_baseline.py"
                        " and BASELINE.md",
@@ -86,6 +93,8 @@ def main():
         "cpu_count_visible": os.cpu_count(),
         "bench_config": bench_cfg,          # denominator used by bench.py
         "reference_default_config": default_cfg,  # for context
+        "bench_config_f32": bench_cfg_f32,  # dtype-matched denominator
+        "reference_default_config_f32": default_cfg_f32,
     }
     path = pathlib.Path(__file__).resolve().parent.parent / "baseline_measurement.json"
     path.write_text(json.dumps(out, indent=2) + "\n")
