@@ -33,17 +33,16 @@ FORCE_INTERPRET = False
 #: escape hatch: disable the Pallas path entirely (env for A/B profiling)
 DISABLE = bool(int(_os.environ.get("MORBIT_DISABLE_FUSED", "0")))
 _TILE = int(_os.environ.get("MORBIT_PREPARE_TILE", "128"))
-#: round-4 runs a much smaller batch tile: its wave loop is unrolled
-#: (max_points trips), so scoped VMEM holds every (T, C) slab of every
-#: live wave — T=128 measured 30.4M against the 16M scoped-vmem limit at
-#: n=2/C=60; VMEM scales linearly in T (T is the sublane axis, lane
-#: utilization is set by C, so small T costs only grid steps)
-_TILE_R4 = int(_os.environ.get("MORBIT_ROUND4_TILE", "32"))
-#: the fused round-4 kernel is OPT-IN: at the bench config it measured a
-#: NET REGRESSION over the vmapped XLA lowering (bench 5,561 vs 7,527
-#: runs/s) — the VMEM-forced small tile serializes 32 grid steps of a
-#: heavy unrolled wave loop per call. Kept for larger-C regimes; enable
-#: with MORBIT_R4_FUSED=1.
+#: round-4 batch tile. The wave loop is an early-exit lax.while_loop over
+#: stacked carries (ops/round4_coord.py), so scoped VMEM holds ONE wave's
+#: (T, C) slabs — still 17.4M at T=128/C=60 (over the 16M limit; the
+#: original unrolled-wave form measured 30.4M), so 64 is the largest
+#: working tile at the bench shapes.
+_TILE_R4 = int(_os.environ.get("MORBIT_ROUND4_TILE", "64"))
+#: the fused round-4 kernel stays OPT-IN: measured 5,599 runs/s at the
+#: bench config vs 8,200+ for the vmapped XLA wave loop — 16 serialized
+#: grid steps of dense (T, C) slab work lose to XLA's launch-bound but
+#: early-stopped lowering at these sizes. Kept for larger-C regimes.
 R4_FUSED = bool(int(_os.environ.get("MORBIT_R4_FUSED", "0")))
 
 

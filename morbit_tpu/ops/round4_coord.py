@@ -152,15 +152,62 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
              for j in range(maxN)] for i in range(maxN)]
     zc = jnp.zeros((T,), jnp.int32)
     N = N0
-    accepted = jnp.zeros((T, C), bool)
+    accepted = jnp.zeros((T, C), jnp.int32)
     cursor = jnp.zeros((T,), jnp.int32)
-    done = jnp.zeros((T,), bool)
+    done = jnp.zeros((T,), jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
 
     # candidate poly rows (wave-invariant)
     pi_c = _poly_row(Xc, pd)                                   # pd x (T, C)
 
-    for _wave in range(max_points):
+    # ---- wave loop as lax.fori_loop over STACKED carries ----------------
+    # An unrolled Python loop keeps every wave's (T, C) temporaries live at
+    # once in scoped VMEM (measured 30.4M at T=128/C=60), forcing a tiny
+    # batch tile; a fori_loop bounds VMEM to ONE wave's working set. The
+    # coordinate-sliced body is unchanged — the per-slot lists become
+    # static views of the carried stacks at the loop boundary.
+    def _stack_rows(vs):                   # K-list of (T,) -> (K, T)
+        # iota-masked accumulate instead of jnp.stack: Mosaic cannot
+        # concatenate vectors whose sublane offsets differ ("result/input
+        # offset mismatch on non-concat dimension")
+        K = len(vs)
+        r = jax.lax.broadcasted_iota(jnp.int32, (K, T), 0)
+        out = None
+        for k, v in enumerate(vs):
+            contrib = jnp.where(r == k, v[None, :], jnp.zeros((), v.dtype))
+            out = contrib if out is None else out + contrib
+        return out
+
+    def _stack2(rows):                     # maxN x K lists of (T,) vectors
+        planes = [_stack_rows(r) for r in rows]          # each (K, T)
+        M = len(planes)
+        i = jax.lax.broadcasted_iota(jnp.int32, (M,) + planes[0].shape, 0)
+        out = None
+        for m, p in enumerate(planes):
+            contrib = jnp.where(i == m, p[None], jnp.zeros((), p.dtype))
+            out = contrib if out is None else out + contrib
+        return out
+
+    def _unstack2(a, n_rows, n_cols):
+        return [[a[i, k] for k in range(n_cols)] for i in range(n_rows)]
+
+    carry0 = (_stack2(sites), _stack2(Phi), _stack2(Q), _stack2(Z),
+              _stack2(L), _stack2(Linv),
+              (_stack2(R) if pd > 0 else jnp.zeros((1, 1, T), dtype)),
+              zc, N, accepted, cursor, done)
+
+    def _wave_body(_w, carry):
+        (sites_s, Phi_s, Q_s, Z_s, L_s, Linv_s, R_s,
+         zc, N, accepted, cursor, done) = carry
+        sites = _unstack2(sites_s, maxN, n)
+        Phi = _unstack2(Phi_s, maxN, maxN)
+        Q = _unstack2(Q_s, maxN, maxN)
+        Z = _unstack2(Z_s, maxN, maxN)
+        L = _unstack2(L_s, maxN, maxN)
+        Linv = _unstack2(Linv_s, maxN, maxN)
+        R = _unstack2(R_s, maxN, pd) if pd > 0 else [[] for _ in range(maxN)]
+        rowmask = [(jnp.full((T,), i, jnp.int32) < N) for i in range(maxN)]
+        done_b = done > 0
         # ---- per-candidate quantities vs the current state --------------
         # phi_xi[i]: kernel value against training row i (0 beyond N)
         phi_xi = []
@@ -170,7 +217,9 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
                 d = sites[i][c][:, None] - Xc[c]
                 r2 = r2 + d * d
             val = _phi_r2_slab(kernel, r2, param_col, static_param)
-            phi_xi.append(jnp.where(rowmask[i][:, None], val, 0.0))
+            # mask via f32 multiply: Mosaic cannot reshape i1 vectors to
+            # (T, 1) (minor-dim insertion is 32-bit only)
+            phi_xi.append(val * rowmask[i].astype(dtype)[:, None])
 
         # Givens pass per candidate (slabs): R_rot, row_rot, gvec, ghat
         if pd > 0:
@@ -183,7 +232,7 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
             ghat = jnp.ones((T, C), dtype)
             Npd = jnp.minimum(N, pd)
             for j in range(pd):
-                active = (j < Npd)[:, None]
+                active = (j < Npd).astype(jnp.int32)[:, None] > 0
                 a = Rc[j][j]
                 b = rowc[j]
                 r = jnp.sqrt(a * a + b * b)
@@ -204,7 +253,7 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
                 rn2 = rn2 + rowc[k] * rowc[k]
             # boolean select via algebra, not where-on-bools (Mosaic cannot
             # select i1 vectors in the fused kernel)
-            below = (N < pd)[:, None]
+            below = (N < pd).astype(jnp.int32)[:, None] > 0
             rank_ok = (below & (jnp.sqrt(rn2) > eps10)) | (~below)
         else:
             Rc = []
@@ -233,7 +282,7 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
             acc = jnp.zeros((T, C), dtype)
             for i in range(maxN):
                 acc = acc + Z[i][m][:, None] * t[i]
-            v.append(jnp.where(zmask[m][:, None], acc, 0.0))
+            v.append(acc * zmask[m].astype(dtype)[:, None])
         sigma = jnp.zeros((T, C), dtype)
         phiQg = jnp.zeros((T, C), dtype)
         for i in range(maxN):
@@ -245,7 +294,7 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
             acc = jnp.zeros((T, C), dtype)
             for k in range(maxN):
                 acc = acc + Linv[m][k][:, None] * v[k]
-            Lv.append(jnp.where(zmask[m][:, None], acc, 0.0))
+            Lv.append(acc * zmask[m].astype(dtype)[:, None])
         tau2 = sigma
         for m in range(maxN):
             tau2 = tau2 - Lv[m] * Lv[m]
@@ -254,7 +303,7 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
         ok = (cand & rank_ok & (tau2 > chol_pivot2)
               & (cols >= cursor[:, None]))
         best = jnp.min(jnp.where(ok, cols, _BIG), axis=1).astype(jnp.int32)
-        any_ok = jnp.any(ok, axis=1) & (N < max_points) & (~done)
+        any_ok = jnp.any(ok, axis=1) & (N < max_points) & (~done_b)
         onehot = cols == best[:, None]
 
         def pick(slab):
@@ -356,13 +405,33 @@ def round4_coord_batched(X_t, cand, sites0, count, param, *, n, C, maxN, pd,
                 newv = jnp.where(isN[i] & isN[j], phi0, newv)
                 Phi[i][j] = newv
 
-        accepted = accepted | (onehot & acc[:, None])
+        accepted = jnp.maximum(
+            accepted,
+            (onehot & (acc.astype(jnp.int32)[:, None] > 0)).astype(jnp.int32))
         N_new = N + acc.astype(jnp.int32)
         zc = zc + acc.astype(jnp.int32)
-        for i in range(maxN):
-            rowmask[i] = jnp.full((T,), i, jnp.int32) < N_new
         cursor = jnp.where(acc, best + 1, jnp.full((T,), C, jnp.int32))
-        done = done | (~any_ok) | (N_new >= max_points)
+        done = jnp.maximum(
+            done, ((~any_ok) | (N_new >= max_points)).astype(jnp.int32))
         N = N_new
 
+        return (_stack2(sites), _stack2(Phi), _stack2(Q), _stack2(Z),
+                _stack2(L), _stack2(Linv),
+                (_stack2(R) if pd > 0 else R_s),
+                zc, N, accepted, cursor, done)
+
+    # early exit: most lanes accept only 1-3 points, so the tile usually
+    # finishes well before the max_points-trip bound
+    def _cond(wc):
+        w, carry = wc
+        done = carry[11]
+        return (w < max_points) & (jnp.min(done) == 0)
+
+    def _body(wc):
+        w, carry = wc
+        return w + 1, _wave_body(w, carry)
+
+    _, carry = jax.lax.while_loop(_cond, _body,
+                                  (jnp.asarray(0, jnp.int32), carry0))
+    accepted, N = carry[9] > 0, carry[8]
     return accepted, N

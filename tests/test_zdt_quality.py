@@ -1,40 +1,76 @@
-"""ZDT convergence-quality tests with RBF surrogates (reference benchmark
-problems at reference-style budgets; ``examples/large_scale_benchmarks.jl``)."""
+"""ZDT convergence-quality locks with per-family eval/front envelopes.
+
+Reference benchmark problems at reference-style budgets
+(``examples/large_scale_benchmarks.jl:124,239-241``). The envelopes freeze
+the deterministic CPU float64 multistart results (Halton starts, fixed
+PRNG): observed values are noted inline; bounds carry ~1.5-2x headroom so
+only a real quality regression (a run family losing the front, or
+derivative-free efficiency collapsing) trips them, not benign numeric
+drift. Bit-level geometry is separately pinned by tests/test_golden.py.
+"""
 
 import jax.numpy as jnp
 import numpy as np
 
 from morbit_tpu.core.config import AlgorithmConfig
-from morbit_tpu.models.configs import RbfConfig
+from morbit_tpu.models.configs import LagrangeConfig, RbfConfig, TaylorConfig
 from morbit_tpu.parallel.multistart import multistart_optimize
 from morbit_tpu.problems.synthetic import halton_starts, make_zdt
 
 
+def _front_err(name, fx):
+    f1 = np.clip(fx[:, 0], 0, None)
+    front = {"zdt1": 1.0 - np.sqrt(f1), "zdt2": 1.0 - f1 ** 2}[name]
+    return np.abs(fx[:, 1] - front)
+
+
+def _run(name, model_cfg, n_starts=8, **ac_kw):
+    mop = make_zdt(name, 5, model_cfg=model_cfg)
+    ac = AlgorithmConfig(max_iter=25, max_evals=1000 * 5, **ac_kw)
+    res = multistart_optimize(mop, halton_starts(n_starts, mop.lb, mop.ub),
+                              ac, dtype=jnp.float64)
+    return np.asarray(res.fx), np.asarray(res.n_evals)
+
+
 def test_zdt1_rbf_front_quality():
-    """Multistart RBF runs land near the ZDT1 front: f2 ~ 1 - sqrt(f1) when
-    g -> 1; at least some runs must reach it within the eval budget."""
-    mop = make_zdt("zdt1", 5, model_cfg=RbfConfig(kernel="cubic"))
-    ac = AlgorithmConfig(max_iter=25, max_evals=1000 * 5, f_tol_rel=1e-3,
-                         x_tol_rel=1e-3)
-    res = multistart_optimize(mop, halton_starts(8, mop.lb, mop.ub), ac,
-                              dtype=jnp.float64)
-    fx = np.asarray(res.fx)
-    evals = np.asarray(res.n_evals)
-    # derivative-free efficiency: well under the reference budget
-    assert np.all(evals <= 1000 * 5)
-    assert np.median(evals) < 100
-    # front distance for the best runs: |f2 - (1 - sqrt(f1))| small
-    front_err = np.abs(fx[:, 1] - (1.0 - np.sqrt(np.clip(fx[:, 0], 0, None))))
-    assert np.min(front_err) < 0.05
-    assert np.median(front_err) < 1.0
+    """RBF family: some starts reach the ZDT1 front essentially exactly and
+    the batch median stays near it (observed: min 0.0, median 0.514)."""
+    fx, evals = _run("zdt1", RbfConfig(kernel="cubic"),
+                     f_tol_rel=1e-3, x_tol_rel=1e-3)
+    fe = _front_err("zdt1", fx)
+    assert np.min(fe) < 0.01
+    assert np.median(fe) < 0.8
+    # derivative-free efficiency (observed evals: min 10 / med 17 / max 22)
+    assert np.median(evals) <= 30
+    assert np.max(evals) <= 60
 
 
-def test_zdt3_taylor_runs_within_budget():
-    from morbit_tpu.models.configs import TaylorConfig
+def test_zdt2_rbf_front_quality():
+    """ZDT2 (concave front): best starts hit the front exactly
+    (observed: min 0.0; evals med 14 / max 22)."""
+    fx, evals = _run("zdt2", RbfConfig(kernel="cubic"),
+                     f_tol_rel=1e-3, x_tol_rel=1e-3)
+    fe = _front_err("zdt2", fx)
+    assert np.min(fe) < 0.01
+    assert np.median(evals) <= 30
+    assert np.max(evals) <= 60
 
-    mop = make_zdt("zdt3", 5, model_cfg=TaylorConfig(degree=1, mode="fd"))
-    ac = AlgorithmConfig(max_iter=25, max_evals=1000 * 5)
-    res = multistart_optimize(mop, halton_starts(4, mop.lb, mop.ub), ac,
-                              dtype=jnp.float64)
-    assert np.all(np.isfinite(np.asarray(res.fx)))
-    assert np.all(np.asarray(res.n_evals) <= 1000 * 5)
+
+def test_zdt3_taylor_eval_envelope():
+    """Taylor-FD family pays a per-iteration stencil: distinctly more evals
+    than RBF but still far under budget (observed: 44 / 62 / 92)."""
+    fx, evals = _run("zdt3", TaylorConfig(degree=1, mode="fd"), n_starts=4)
+    assert np.all(np.isfinite(fx))
+    assert np.median(evals) <= 90
+    assert np.max(evals) <= 150
+    assert np.min(evals) >= 10   # the stencil cost is real — not free
+
+
+def test_zdt1_lagrange_front_quality():
+    """Lagrange family reaches the front with a poised-set eval profile
+    between RBF and Taylor (observed: front min 0.0; evals 19 / 19.5 / 25)."""
+    fx, evals = _run("zdt1", LagrangeConfig(degree=1), n_starts=4)
+    fe = _front_err("zdt1", fx)
+    assert np.min(fe) < 0.01
+    assert np.median(evals) <= 35
+    assert np.max(evals) <= 60

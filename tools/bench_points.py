@@ -1,0 +1,105 @@
+"""Honest multi-point TPU throughput artifact (round-2 VERDICT item #2).
+
+The headline bench (bench.py) uses the cheapest configuration
+(``max_iter=10, qp_iters=100``). This tool measures STEADY-STATE TPU
+throughput at BOTH budgets — the bench config and the reference-default
+budget (``max_iter=100, qp_iters=400``, matching ``AlgorithmConfig``'s
+reference defaults / ``examples/large_scale_benchmarks.jl:181,203-210``
+run style) — with the compile time split out, and pairs each with its
+measured single-core CPU denominators (float64 and the dtype-matched
+float32) from ``baseline_measurement.json``.
+
+Writes ``bench_points_r3.json``.
+
+Run on the TPU tunnel:  python tools/bench_points.py
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from morbit_tpu.core.config import AlgorithmConfig
+from morbit_tpu.models.configs import RbfConfig
+from morbit_tpu.parallel.multistart import build_solver
+from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
+
+BATCH = 1024
+
+
+def measure(max_iter: int, qp_iters: int, n_rep: int = 3) -> dict:
+    dtype = jnp.float32
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
+    solver = build_solver(mop, ac, dtype)
+    x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
+
+    def slim(row):
+        res = solver.solve(row)
+        traj_alive = jax.tree_util.tree_map(jnp.sum, res.state.traj)
+        return (res.x, res.fx, res.stop_code, res.n_iterations, res.n_evals,
+                traj_alive)
+
+    run = jax.jit(jax.vmap(slim))
+    t0 = time.perf_counter()
+    out = run(x0)
+    jax.block_until_ready(out[0])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = run(x0)
+    jax.block_until_ready(out[0])
+    steady_s = (time.perf_counter() - t0) / n_rep
+    return {
+        "config": {"max_iter": max_iter, "qp_iters": qp_iters,
+                   "batch": BATCH, "dtype": "float32",
+                   "problem": "two_parabolas 2D, RbfConfig(multiquadric)"},
+        "compile_plus_first_run_s": round(compile_s, 3),
+        "steady_state_s_per_batch": round(steady_s, 5),
+        "steady_state_runs_per_sec": round(BATCH / steady_s, 2),
+    }
+
+
+def main():
+    root = pathlib.Path(__file__).resolve().parent.parent
+    meas = json.loads((root / "baseline_measurement.json").read_text())
+
+    def denoms(key):
+        d = {"cpu_f64_runs_per_sec": meas[key]["runs_per_sec"]}
+        f32_key = key + "_f32"
+        if f32_key in meas:
+            d["cpu_f32_runs_per_sec"] = meas[f32_key]["runs_per_sec"]
+        return d
+
+    bench_pt = measure(max_iter=10, qp_iters=100)
+    default_pt = measure(max_iter=100, qp_iters=400)
+    bench_pt["denominators"] = denoms("bench_config")
+    default_pt["denominators"] = denoms("reference_default_config")
+    for pt in (bench_pt, default_pt):
+        for name, den in pt["denominators"].items():
+            pt[f"vs_{name.replace('_runs_per_sec', '')}"] = round(
+                pt["steady_state_runs_per_sec"] / den, 2)
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "note": "steady-state = mean of 3 repeat calls on pre-staged device "
+                "inputs after the compile call; denominators are measured "
+                "single-instance sequential single-core CPU runs of this "
+                "same solver (tools/measure_baseline.py, BASELINE.md)",
+        "bench_config": bench_pt,
+        "reference_default_config": default_pt,
+    }
+    (root / "bench_points_r3.json").write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out["bench_config"]))
+    print(json.dumps(out["reference_default_config"]))
+
+
+if __name__ == "__main__":
+    main()
