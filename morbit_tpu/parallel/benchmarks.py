@@ -25,7 +25,7 @@ import numpy as np
 from morbit_tpu.core.config import AlgorithmConfig
 from morbit_tpu.core.descent import PascolettiSerafiniConfig
 from morbit_tpu.models.configs import LagrangeConfig, RbfConfig, TaylorConfig
-from morbit_tpu.parallel.multistart import build_solver, multistart_optimize
+from morbit_tpu.parallel.multistart import build_solver
 from morbit_tpu.problems.synthetic import (
     halton_starts,
     make_dtlz,
@@ -113,24 +113,50 @@ def _default_config(setting: Setting, **overrides) -> AlgorithmConfig:
     return AlgorithmConfig(**kw)
 
 
-def perform_test(setting: Setting, dtype=jnp.float32, mesh=None, **cfg_overrides):
+def perform_test(setting: Setting, dtype=jnp.float32, mesh=None,
+                 steady_state: bool = False, **cfg_overrides):
     """Run one settings group: multistart over Halton starting points.
 
-    Returns a dict of observation arrays (one row per start)."""
+    Returns a dict of observation arrays (one row per start). ``wall_s``
+    includes the jit compile (it is the first call); with
+    ``steady_state=True`` a second call on a DISTINCT start batch of the
+    same shape is timed separately (``steady_state_s`` /
+    ``steady_runs_per_sec``) — repeat-identical calls would hit the device
+    result cache and lie (CLAUDE.md perf notes), so fresh starts are used."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     mop = make_problem(setting.problem, setting.n_vars, setting.model)
     ac = _default_config(setting, **cfg_overrides)
-    x0 = halton_starts(setting.n_starts, mop.lb, mop.ub)
+    n_s = setting.n_starts
+    x0_all = halton_starts(n_s * (2 if steady_state else 1), mop.lb, mop.ub)
+
+    solver = build_solver(mop, ac, dtype)
+    run = jax.vmap(solver.solve)
+    x0_all = jnp.asarray(x0_all, dtype)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("batch", None))
+        run = jax.jit(run, in_shardings=(sh,))
+        x0_all = jax.device_put(x0_all, sh)
+    else:
+        run = jax.jit(run)
 
     t0 = time.perf_counter()
-    res = multistart_optimize(mop, x0, ac, dtype=dtype, mesh=mesh)
+    res = run(x0_all[:n_s])
     jax.block_until_ready(res.x)
     wall = time.perf_counter() - t0
+
+    steady = None
+    if steady_state:
+        t0 = time.perf_counter()
+        res2 = run(x0_all[n_s:])
+        jax.block_until_ready(res2.x)
+        steady = time.perf_counter() - t0
 
     traj = res.state.traj
     counts = np.asarray(traj.count)
     last = np.clip(counts - 1, 0, traj.omega.shape[1] - 1)
     omega_final = np.asarray(traj.omega)[np.arange(len(counts)), last]
-    return {
+    out = {
         "x": np.asarray(res.x),
         "fx": np.asarray(res.fx),
         "n_evals": np.asarray(res.n_evals),
@@ -139,11 +165,16 @@ def perform_test(setting: Setting, dtype=jnp.float32, mesh=None, **cfg_overrides
         "omega": omega_final,
         "wall_s": wall,
     }
+    if steady is not None:
+        out["steady_state_s"] = steady
+        out["steady_runs_per_sec"] = round(n_s / steady, 3)
+        out["compile_s_approx"] = round(wall - steady, 3)
+    return out
 
 
 def run_benchmarks(settings, save_path: Optional[str] = None, resume: bool = True,
                    dtype=jnp.float32, mesh=None, verbose: bool = True,
-                   **cfg_overrides):
+                   steady_state: bool = False, **cfg_overrides):
     """Run all settings groups with incremental JSON saving and resume."""
     results = {}
     if save_path and resume and os.path.exists(save_path):
@@ -156,7 +187,8 @@ def run_benchmarks(settings, save_path: Optional[str] = None, resume: bool = Tru
         if s.key in results:
             continue
         try:
-            obs = perform_test(s, dtype=dtype, mesh=mesh, **cfg_overrides)
+            obs = perform_test(s, dtype=dtype, mesh=mesh,
+                               steady_state=steady_state, **cfg_overrides)
             results[s.key] = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                               for k, v in obs.items()}
             if verbose:

@@ -72,10 +72,14 @@ def main():
     meas = json.loads((root / "baseline_measurement.json").read_text())
 
     def denoms(key):
-        d = {"cpu_f64_runs_per_sec": meas[key]["runs_per_sec"]}
+        f64 = meas[key]["runs_per_sec"]
+        d = {"cpu_f64_runs_per_sec": f64}
         f32_key = key + "_f32"
         if f32_key in meas:
-            d["cpu_f32_runs_per_sec"] = meas[f32_key]["runs_per_sec"]
+            # conservative dtype-matched denominator: f32 is never slower
+            # than f64 on the same machine, so floor it at the best f64
+            d["cpu_f32_runs_per_sec"] = max(meas[f32_key]["runs_per_sec"],
+                                            f64)
         return d
 
     bench_pt = measure(max_iter=10, qp_iters=100)

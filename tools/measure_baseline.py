@@ -84,11 +84,30 @@ def main():
                             dtype=jnp.float32)
     default_cfg_f32 = measure(max_iter=100, qp_iters=400, n_runs=16,
                               dtype=jnp.float32)
+
+    # CONSERVATIVE MERGE: single-core wall timings on this 1-vCPU VM vary
+    # run-to-run by up to ~40% (measured round 3: f64 bench config 118.8 /
+    # 140.1 / 187.3 runs/s across sessions). The denominator stands in for
+    # the reference, so the HIGHEST throughput ever measured is kept — a
+    # faster denominator can only lower our reported multiplier.
+    path = pathlib.Path(__file__).resolve().parent.parent / "baseline_measurement.json"
+    if path.exists():
+        old = json.loads(path.read_text())
+        for key, rec in (("bench_config", bench_cfg),
+                         ("reference_default_config", default_cfg),
+                         ("bench_config_f32", bench_cfg_f32),
+                         ("reference_default_config_f32", default_cfg_f32)):
+            prev = old.get(key)
+            if prev and prev.get("runs_per_sec", 0) > rec["runs_per_sec"]:
+                rec.update(prev)
     out = {
         "methodology": "single-instance unvmapped sequential runs of "
                        "this solver on one CPU core (XLA CPU backend), "
-                       "distinct Halton starts; see tools/measure_baseline.py"
-                       " and BASELINE.md",
+                       "distinct Halton starts; BEST-OF across measurement "
+                       "sessions (1-vCPU wall timings vary up to ~40% "
+                       "run-to-run; keeping the fastest denominator is the "
+                       "conservative choice for the reported multiplier); "
+                       "see tools/measure_baseline.py and BASELINE.md",
         "platform": jax.devices()[0].platform,
         "cpu_count_visible": os.cpu_count(),
         "bench_config": bench_cfg,          # denominator used by bench.py
