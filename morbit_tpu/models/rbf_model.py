@@ -477,8 +477,8 @@ class RbfOps(SurrogateOps):
         param = self._resolve_param(ctx.delta)
         # scan only the first max_candidates rows (matching run_round4's
         # ``max_candidates`` bound) and route through the fused-kernel
-        # primitive: plain run_round4 single-lane / f64, one lane-tiled
-        # Pallas kernel for vmapped f32 TPU solves (ops/round4_coord.py)
+        # primitive: plain run_round4 single-lane / f64, one lane-batched
+        # Pallas kernel for vmapped f32 TPU solves (ops/round4_lane.py)
         scan_cap = min(X_all.shape[0],
                        min(cap, 10 * self.max_points) + n_rand)
         r4 = self._round4_callable(scan_cap)

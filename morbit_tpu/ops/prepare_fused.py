@@ -33,17 +33,17 @@ FORCE_INTERPRET = False
 #: escape hatch: disable the Pallas path entirely (env for A/B profiling)
 DISABLE = bool(int(_os.environ.get("MORBIT_DISABLE_FUSED", "0")))
 _TILE = int(_os.environ.get("MORBIT_PREPARE_TILE", "128"))
-#: round-4 batch tile. The wave loop is an early-exit lax.while_loop over
-#: stacked carries (ops/round4_coord.py), so scoped VMEM holds ONE wave's
-#: (T, C) slabs — still 17.4M at T=128/C=60 (over the 16M limit; the
-#: original unrolled-wave form measured 30.4M), so 64 is the largest
-#: working tile at the bench shapes.
-_TILE_R4 = int(_os.environ.get("MORBIT_ROUND4_TILE", "64"))
-#: the fused round-4 kernel stays OPT-IN: measured 5,599 runs/s at the
-#: bench config vs 8,200+ for the vmapped XLA wave loop — 16 serialized
-#: grid steps of dense (T, C) slab work lose to XLA's launch-bound but
-#: early-stopped lowering at these sizes. Kept for larger-C regimes.
-R4_FUSED = bool(int(_os.environ.get("MORBIT_R4_FUSED", "0")))
+#: round-4 batch tile (batch lives on the LANE axis of every kernel array,
+#: so 128 fills the vector lanes exactly; 256 SIGABRTs the Mosaic compile
+#: at the bench shapes). VMEM holds one wave's (C, T) slabs only — the
+#: wave loop is an early-exit lax.while_loop (ops/round4_lane.py).
+_TILE_R4 = int(_os.environ.get("MORBIT_ROUND4_TILE", "128"))
+#: lane-batched fused round-4 is ON by default for vmapped f32 TPU solves:
+#: bench 8,750 -> 14,857 runs/s (the earlier coordinate-sliced list-form
+#: kernel LOST to the vmapped XLA wave loop — its per-wave stack/unstack
+#: round-trip and sublane-tiled slabs dominated; batch-on-lanes stacked
+#: arrays fixed both). MORBIT_R4_FUSED=0 restores the XLA lowering.
+R4_FUSED = bool(int(_os.environ.get("MORBIT_R4_FUSED", "1")))
 
 
 def _pallas_ok(dtype) -> bool:
@@ -149,20 +149,50 @@ def _pallas_selection(statics, B, cap, n, X, count, x_s, x_index, delta,
             s(a3) > 0, s(nn)[:, 0], s(dirs), s(dc)[:, 0], s(fl)[:, 0] > 0)
 
 
+#: scoped-VMEM budget for one grid step of the round-4 kernel (the hard
+#: limit is 16M; leave headroom for double-buffered input/output blocks)
+_R4_VMEM_BUDGET = 10 * 2 ** 20
+
+
+def _r4_tile(statics) -> int:
+    """Largest batch tile (<= _TILE_R4, multiple of 32) whose one-wave
+    working set fits the scoped-VMEM budget; 0 when even 32 does not fit
+    (large-n problems: ZDT n=10 has maxN=66, C=660 — the XLA wave loop is
+    the right lowering there)."""
+    maxN, C, n = statics["max_points"], statics["C"], statics["n"]
+    pd = statics["pd"]
+    # dominant live slabs per lane (floats): the six maxN-lists of (C,)
+    # slabs, the Givens per-candidate copies, ~10 (C,) scalars slabs, the
+    # five (maxN, maxN) factors, sites and X
+    per_lane = (6 * maxN * C + (pd * pd + 2 * pd) * C + 10 * C
+                + 5 * maxN * maxN + 2 * maxN * n + n * C) * 4
+    tile = min(_TILE_R4, 128)
+    while tile >= 32 and per_lane * tile > _R4_VMEM_BUDGET:
+        tile //= 2
+    return tile if tile >= 32 else 0
+
+
 def _pallas_round4(statics, B, X_t, cand, sites0, count, param):
+    """Lane-batched fused round-4: batch on the LAST (lane) axis.
+
+    ``X_t``: (B, n, C); ``cand``: (B, C); ``sites0``: (B, maxN, n);
+    ``count``/``param``: (B,). The kernel body
+    (:func:`morbit_tpu.ops.round4_lane.round4_lane_batched`) keeps state in
+    stacked array form with the batch tile on lanes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from morbit_tpu.ops.round4_coord import round4_coord_batched
+    from morbit_tpu.ops.round4_lane import round4_lane_batched
 
     n = statics["n"]
     C = statics["C"]
     maxN = statics["max_points"]
     dtype = jnp.dtype(statics["dtype"])
 
-    tile = min(_TILE_R4, B) if B % min(_TILE_R4, B) == 0 else None
+    t4 = _r4_tile(statics)
+    tile = min(t4, B) if B % min(t4, B) == 0 else None
     if tile is None:
-        tile = min(_TILE_R4, 1 << (B - 1).bit_length())
+        tile = min(t4, 1 << (B - 1).bit_length())
         padded = ((B + tile - 1) // tile) * tile
     else:
         padded = B
@@ -174,34 +204,37 @@ def _pallas_round4(statics, B, X_t, cand, sites0, count, param):
         reps = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
         return jnp.concatenate([a, reps], axis=0)
 
-    col = lambda a, dt: jnp.asarray(a, dt).reshape((-1, 1))
-    ins = (p(X_t), p(cand.astype(jnp.int32)), p(sites0),
-           p(col(count, jnp.int32)), p(col(param, dtype)))
+    # lane-last layouts: batch becomes the trailing axis
+    X_l = jnp.transpose(p(X_t), (1, 2, 0))                 # (n, C, padded)
+    cand_l = jnp.transpose(p(cand.astype(jnp.int32)))      # (C, padded)
+    s0_l = jnp.transpose(p(sites0), (1, 2, 0))             # (maxN, n, padded)
+    cnt_l = jnp.asarray(p(count), jnp.int32)[None, :]      # (1, padded)
+    par_l = jnp.asarray(p(param), dtype)[None, :]          # (1, padded)
 
     grid = (padded // tile,)
-    row_spec = lambda w: pl.BlockSpec(
-        (tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mat_spec = lambda r: pl.BlockSpec(
+        (r, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     cube_spec = lambda a, b: pl.BlockSpec(
-        (tile, a, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    in_specs = [cube_spec(n, C), row_spec(C), cube_spec(maxN, n),
-                row_spec(1), row_spec(1)]
+        (a, b, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    in_specs = [cube_spec(n, C), mat_spec(C), cube_spec(maxN, n),
+                mat_spec(1), mat_spec(1)]
     out_shapes = (
-        jax.ShapeDtypeStruct((padded, C), jnp.int32),   # accepted
-        jax.ShapeDtypeStruct((padded, 1), jnp.int32),   # N_final
+        jax.ShapeDtypeStruct((C, padded), jnp.int32),      # accepted
+        jax.ShapeDtypeStruct((1, padded), jnp.int32),      # N_final
     )
-    out_specs = (row_spec(C), row_spec(1))
+    out_specs = (mat_spec(C), mat_spec(1))
 
     kstat = {k: statics[k] for k in
              ("n", "C", "kernel", "static_param", "chol_pivot2",
               "max_points")}
 
     def kernel(X_ref, cand_ref, s0_ref, cnt_ref, par_ref, o_acc, o_n):
-        acc, Nf = round4_coord_batched(
-            X_ref[:], cand_ref[:] > 0, s0_ref[:], cnt_ref[:, 0],
-            par_ref[:, 0], maxN=maxN, pd=statics["pd"], dtype=dtype,
+        acc, Nf = round4_lane_batched(
+            X_ref[:], cand_ref[:] > 0, s0_ref[:], cnt_ref[0, :],
+            par_ref[0, :], maxN=maxN, pd=statics["pd"], dtype=dtype,
             **kstat)
         o_acc[:] = acc.astype(jnp.int32)
-        o_n[:, 0] = Nf
+        o_n[0, :] = Nf
 
     acc, Nf = pl.pallas_call(
         kernel,
@@ -210,8 +243,8 @@ def _pallas_round4(statics, B, X_t, cand, sites0, count, param):
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=bool(FORCE_INTERPRET),
-    )(*ins)
-    return acc[:B] > 0, Nf[:B, 0]
+    )(X_l, cand_l, s0_l, cnt_l, par_l)
+    return jnp.transpose(acc)[:B] > 0, Nf[0, :B]
 
 
 def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
@@ -270,7 +303,7 @@ def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
 
         X, cand, sites0, count, param = (
             at0(a, d) for a, d in zip(args, dims))
-        if R4_FUSED and _pallas_ok(dtype):
+        if R4_FUSED and _pallas_ok(dtype) and _r4_tile(statics) >= 32:
             acc, Nf = _pallas_round4(statics, size,
                                      jnp.swapaxes(X, 1, 2), cand, sites0,
                                      count, param)
