@@ -254,7 +254,7 @@ def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
     Single-lane calls run :func:`morbit_tpu.models.rbf_round4.run_round4`
     directly (float64 golden paths keep the pre-existing XLA lowering);
     vmapped calls on the float32 TPU path run the fused Pallas kernel over
-    lane tiles (``ops/round4_coord.py``). Same raw-primitive routing as
+    lane tiles (``ops/round4_lane.py``). Same raw-primitive routing as
     :func:`make_batched_selection`."""
     from jax.interpreters import batching, mlir
 

@@ -4,7 +4,7 @@ Both paths implement the identical acceptance semantics (first passer in
 database order per wave, Cholesky-bounded — ``src/models/RbfModel.jl:352-499``):
 one as ``lax.while_loop`` waves under vmap (``models/rbf_round4.py``), one as
 a lane-tiled static wave loop inside a Pallas kernel
-(``ops/round4_coord.py``). Acceptance masks must agree exactly away from
+(``ops/round4_lane.py``). Acceptance masks must agree exactly away from
 pivot-boundary float ties; at float64 the agreement is exact (measured).
 Runs the kernel in interpreter mode (no TPU needed).
 """

@@ -52,18 +52,33 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 3) -> dict:
     jax.block_until_ready(out[0])
     compile_s = time.perf_counter() - t0
 
+    # blocked latency: one call, block immediately
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = run(x0)
+    out = run(x0)
     jax.block_until_ready(out[0])
+    blocked_s = time.perf_counter() - t0
+
+    # sustained: back-to-back batches on distinct pre-staged inputs, one
+    # final block (bench.py protocol — per-call blocking pays a fixed
+    # ~25 ms tunnel round-trip that is not solver work)
+    dtype = x0.dtype
+    x0s = [jax.device_put(x0 + jnp.asarray(1e-5 * (i + 1), dtype))
+           for i in range(n_rep)]
+    jax.block_until_ready(x0s)
+    t0 = time.perf_counter()
+    outs = [run(xi) for xi in x0s]
+    jax.block_until_ready(outs[-1][0])
     steady_s = (time.perf_counter() - t0) / n_rep
     return {
         "config": {"max_iter": max_iter, "qp_iters": qp_iters,
                    "batch": BATCH, "dtype": "float32",
                    "problem": "two_parabolas 2D, RbfConfig(multiquadric)"},
         "compile_plus_first_run_s": round(compile_s, 3),
+        "blocked_latency_s_per_batch": round(blocked_s, 5),
         "steady_state_s_per_batch": round(steady_s, 5),
         "steady_state_runs_per_sec": round(BATCH / steady_s, 2),
+        "protocol": f"sustained: {n_rep} back-to-back batches, distinct "
+                    "pre-staged inputs, one final block",
     }
 
 
