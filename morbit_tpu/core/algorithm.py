@@ -53,23 +53,29 @@ class TrajectoryState:
 
     All stamps are PACKED into one ``(T, W)`` array with layout
     ``[x (n) | fx (m) | delta | rho | omega | steplength | it_stat |
-    x_indices (G)]`` — each distinct while-loop-carried buffer pays a fixed
-    alternate-memory copy stall per boundary on TPU (tools/profile_trace.py),
-    so one packed buffer replaces eight. Integer stamps are stored in the
-    float dtype (exact below 2^24); the named views convert back."""
+    x_indices (G) | model_meta (MW)]`` — each distinct while-loop-carried
+    buffer pays a fixed alternate-memory copy stall per boundary on TPU
+    (tools/profile_trace.py), so one packed buffer replaces eight. Integer
+    stamps are stored in the float dtype (exact below 2^24); the named
+    views convert back. ``MW > 0`` only with
+    ``AlgorithmConfig.save_model_meta`` — per-group training-set
+    provenance (``[n_train, db row indices...]`` per stamping group), the
+    reference's model-meta ``IterSaveable`` content
+    (``RbfModel.jl:162-175``, ``IterDataIterSaveable.jl:189-216``)."""
 
     data: jax.Array   # (T, W)
     count: jax.Array  # int32
     n: int
     m: int
     G: int
+    MW: int = 0
 
     def tree_flatten(self):
-        return (self.data, self.count), (self.n, self.m, self.G)
+        return (self.data, self.count), (self.n, self.m, self.G, self.MW)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1], aux[2])
+        return cls(children[0], children[1], *aux)
 
     # ---- named read-only views (leading batch dims pass through)
     @property
@@ -105,7 +111,16 @@ class TrajectoryState:
 
     @property
     def x_indices(self):
-        return self.data[..., :, self.n + self.m + 5:].astype(jnp.int32)
+        o = self.n + self.m + 5
+        return self.data[..., :, o: o + self.G].astype(jnp.int32)
+
+    @property
+    def model_meta(self):
+        """(T, MW) int32 per-iteration training-set provenance (empty
+        unless ``save_model_meta``); split per group with
+        ``SurrogateOps.train_stamp_len``."""
+        o = self.n + self.m + 5 + self.G
+        return self.data[..., :, o: o + self.MW].astype(jnp.int32)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -276,6 +291,10 @@ class Solver:
         self.f_dim = mop.m_obj if self.filter_mode == "strict" else 1
         self.has_constraints = mop.has_nl_constraints or mop.has_lin_constraints
         self.T = ac.resolved_trajectory_capacity()
+        #: width of the per-iteration model-meta stamp block (0 unless
+        #: ``save_model_meta`` — see TrajectoryState)
+        self.MW = (self.container.train_stamp_len
+                   if ac.save_model_meta else 0)
         # Criticality-loop fast-forward (perf, semantics-preserving): the
         # rebuilds inside the loop see the *unchanged* iterate radius
         # (``algorithm.jl:580``: ``update_surrogates!`` reads ``iter_data``
@@ -321,16 +340,21 @@ class Solver:
         return jnp.abs(theta) <= 10 * eps
 
     def _stamp(self, traj: TrajectoryState, x, fx, delta, rho, omega, steplength,
-               it_stat, x_indices) -> TrajectoryState:
+               it_stat, x_indices, groups=None) -> TrajectoryState:
         slot = jnp.clip(traj.count, 0, self.T - 1)
         ok = traj.count < self.T
         dt = traj.data.dtype
         sc = lambda v: jnp.asarray(v, dt).reshape((1,))
-        row = jnp.concatenate([
+        parts = [
             jnp.asarray(x, dt), jnp.asarray(fx, dt), sc(delta), sc(rho),
             sc(omega), sc(steplength), sc(jnp.asarray(it_stat, jnp.int32)),
             jnp.asarray(x_indices, jnp.int32).astype(dt).reshape((-1,)),
-        ])
+        ]
+        if self.MW:
+            # per-group model training-set provenance (save_model_meta)
+            parts.append(
+                self.container.train_stamps(groups).astype(dt))
+        row = jnp.concatenate(parts)
         data = jnp.where(ok, traj.data.at[slot].set(row), traj.data)
         return dataclasses.replace(traj, data=data, count=traj.count + 1)
 
@@ -540,12 +564,13 @@ class Solver:
         T = self.T
         G = len(mop.groups)
         traj = TrajectoryState(
-            data=jnp.zeros((T, mop.n_vars + mop.m_obj + 5 + G), dtype),
+            data=jnp.zeros((T, mop.n_vars + mop.m_obj + 5 + G + self.MW),
+                           dtype),
             count=jnp.asarray(0, jnp.int32),
-            n=mop.n_vars, m=mop.m_obj, G=G,
+            n=mop.n_vars, m=mop.m_obj, G=G, MW=self.MW,
         )
         traj = self._stamp(traj, x, fx, delta0, -jnp.inf, -jnp.inf, -jnp.inf,
-                           ITER_TYPE.INITIALIZATION, x_indices)
+                           ITER_TYPE.INITIALIZATION, x_indices, groups)
 
         # initial surrogates (``init_surrogates``; RBF defaults to
         # ensure_fully_linear=true on init, ``RbfModel.jl:506-513``)
@@ -1126,7 +1151,7 @@ class Solver:
         (``algorithm.jl:702-709``)."""
         traj = self._stamp(state.traj, state.x, state.fx, state.delta,
                            -jnp.inf, -jnp.inf, -jnp.inf, ITER_TYPE.RESTORATION,
-                           state.x_indices)
+                           state.x_indices, state.groups)
         return state._replace(
             traj=traj,
             last_it_stat=jnp.asarray(ITER_TYPE.RESTORATION, jnp.int32),
@@ -1566,7 +1591,7 @@ class Solver:
         # ---- stamp (``:899-903``)
         traj = self._stamp(next_state.traj, next_state.x, next_state.fx,
                            delta_new, rho, omega, steplength, 0,
-                           next_state.x_indices)
+                           next_state.x_indices, next_state.groups)
         it_col = traj.n + traj.m + 4
         traj = dataclasses.replace(traj, data=traj.data.at[
             jnp.clip(traj.count - 1, 0, self.T - 1), it_col].set(

@@ -108,6 +108,10 @@ class AlgorithmConfig:
     qp_polish: bool = True
     # trajectory ring buffer length (IterSaveable stamps); <=0 -> max_iter+2
     trajectory_capacity: int = -1
+    # stamp each iteration's per-group model training sets (db row indices
+    # + count) into the trajectory — the reference's model-meta IterSaveable
+    # content (``RbfModel.jl:162-175``, ``IterDataIterSaveable.jl:189-216``)
+    save_model_meta: bool = False
 
     def resolved_db_capacity(self, n_vars: int, max_model_points: int,
                              sites_per_iter: int = 0) -> int:

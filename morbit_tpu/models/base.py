@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 
 
 class ModelContext(NamedTuple):
@@ -47,6 +48,17 @@ class SurrogateOps:
     #: static bound on new (unevaluated) sites one prepare/improve call can
     #: add — lets eval_missing evaluate only a tail window of the database
     eval_window: int = 1
+
+    #: static length of :meth:`train_stamp` (0 = family has no per-model
+    #: training-set provenance to save; RBF overrides)
+    train_stamp_len: int = 0
+
+    def train_stamp(self, model):
+        """Per-iteration training-set provenance as a flat int32 vector
+        (``[n_train, db row indices...]`` for families that track one) —
+        the model part of the reference's ``IterSaveable``
+        (``RbfModel.jl:162-175``, ``IterDataIterSaveable.jl:189-216``)."""
+        return jnp.zeros((0,), jnp.int32)
 
     def __init__(self, group, n_vars: int, dtype, ac, scal):
         self.group = group

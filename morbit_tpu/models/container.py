@@ -389,6 +389,21 @@ class SurrogateContainer:
             parts.append(self.jac_nl_ineq(states, x_s, scal))
         return jnp.concatenate(parts, axis=0)
 
+    # ------------------------------------------------- model-meta provenance
+    @property
+    def train_stamp_len(self) -> int:
+        return sum(ops.train_stamp_len for ops in self.ops)
+
+    def train_stamps(self, states):
+        """Concatenated per-group training-set provenance (int32) — the
+        model part of the reference's per-iteration ``IterSaveable``
+        (``IterDataIterSaveable.jl:189-216``)."""
+        parts = [ops.train_stamp(st.model)
+                 for ops, st in zip(self.ops, states) if ops.train_stamp_len]
+        if not parts:
+            return jnp.zeros((0,), jnp.int32)
+        return jnp.concatenate(parts)
+
     # ------------------------------------------------------------------- flags
     def fully_linear(self, states):
         """AND over groups (``SurrogateContainer.jl`` fully_linear)."""

@@ -237,6 +237,7 @@ class RbfOps(SurrogateOps):
         cfg = self.cfg
         self.max_points = cfg.resolved_max_points(n_vars)
         self.cap_train = n_vars + 1 + max(0, self.max_points - (n_vars + 1))
+        self.train_stamp_len = self.cap_train + 1
         self.eval_window = n_vars + 1 + (
             10 * self.max_points if cfg.use_max_points else 0)
         self.kernel = cfg.kernel
@@ -576,6 +577,14 @@ class RbfOps(SurrogateOps):
 
     def set_fully_linear(self, state, val):
         return state._replace(fully_linear=jnp.asarray(val))
+
+    def train_stamp(self, state):
+        """``[n_train, idx...]`` — which db rows built this model
+        (``RbfModel.jl:162-175`` meta content)."""
+        return jnp.concatenate([
+            jnp.asarray(state.n_train, jnp.int32)[None],
+            jnp.asarray(state.idx, jnp.int32),
+        ])
 
     # ---- criticality-loop carry splitting: ``fit`` is a pure function of
     # (idx, n_train, db, ctx), so the 5 RbfFit buffers (sites/mask/w/lam/

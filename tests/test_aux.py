@@ -160,3 +160,50 @@ def test_function_eval_counts():
     assert len(counts) == 4
     assert counts[0] == counts[1] == counts[2] > 0   # one combined group
     assert counts[3] > 0                             # exact group counts too
+
+
+def test_save_model_meta_stamps():
+    """``save_model_meta`` stamps each iteration's per-group training set
+    (``[n_train, db row indices...]``) into the trajectory — the model-meta
+    ``IterSaveable`` content (``RbfModel.jl:162-175``,
+    ``IterDataIterSaveable.jl:189-216``). Post-hoc, every stamp row must
+    reconstruct a valid training set from the final database."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from morbit_tpu import optimize
+    from morbit_tpu.core.mop import MOP, compile_mop
+    from morbit_tpu.models.configs import RbfConfig
+
+    mop = MOP([-2.0, -2.0], [2.0, 2.0])
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2)[None],
+                      model_cfg=RbfConfig(kernel="cubic"))
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2)[None],
+                      model_cfg=RbfConfig(kernel="cubic"))
+    cmop = compile_mop(mop)
+    res = optimize(cmop, [0.4, -0.3], max_iter=4, save_model_meta=True)
+
+    traj = res.state.traj
+    count = int(res.state.traj.count)
+    meta = np.asarray(traj.model_meta)[:count]       # (count, MW)
+    assert traj.MW > 0 and meta.shape[1] == traj.MW
+    db = res.state.groups[0].db
+    cap_train = meta.shape[1] - 1                    # one combined group
+    # init stamp precedes the first model build: n_train == 0
+    assert meta[0, 0] == 0
+    for k in range(1, count):
+        n_train = meta[k, 0]
+        idx = meta[k, 1:1 + cap_train]
+        assert 1 <= n_train <= cap_train
+        used = idx[:n_train]
+        assert np.all((used >= 0) & (used < int(db.count)))
+    # the last stamp matches the final model state exactly
+    m = res.state.groups[0].model
+    assert meta[-1, 0] == int(np.asarray(m.n_train))
+    np.testing.assert_array_equal(meta[-1, 1:], np.asarray(m.idx))
+
+    # flag off: no meta columns, identical trajectory geometry
+    res0 = optimize(cmop, [0.4, -0.3], max_iter=4)
+    assert res0.state.traj.MW == 0
+    np.testing.assert_allclose(np.asarray(res0.state.traj.x)[:count],
+                               np.asarray(traj.x)[:count], rtol=0, atol=0)
