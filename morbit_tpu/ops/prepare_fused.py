@@ -44,6 +44,17 @@ _TILE_R4 = int(_os.environ.get("MORBIT_ROUND4_TILE", "128"))
 #: round-trip and sublane-tiled slabs dominated; batch-on-lanes stacked
 #: arrays fixed both). MORBIT_R4_FUSED=0 restores the XLA lowering.
 R4_FUSED = bool(int(_os.environ.get("MORBIT_R4_FUSED", "1")))
+#: largest n_vars routed to the fused rounds-1-3 selection kernel (Mosaic
+#: compile time grows super-linearly with the ~n^2 kernel body; n=15
+#: effectively hangs the remote compile — see the selection batching rule)
+_SELECTION_MAX_N = int(_os.environ.get("MORBIT_SELECTION_MAX_N", "10"))
+#: largest database capacity routed to the selection kernel (its slabs are
+#: (tile, cap); large-budget configs reach cap ~2000+, far past the proven
+#: regime — bench config cap is 157)
+_SELECTION_MAX_CAP = int(_os.environ.get("MORBIT_SELECTION_MAX_CAP", "512"))
+#: largest maxN*C wave-body size routed to the fused round-4 kernel
+#: (proven at 6*60=360; ZDT n=5 is 21*210=4410 and failed to compile)
+_R4_MAX_BODY = int(_os.environ.get("MORBIT_R4_MAX_BODY", "1024"))
 
 
 def _pallas_ok(dtype) -> bool:
@@ -161,6 +172,13 @@ def _r4_tile(statics) -> int:
     the right lowering there)."""
     maxN, C, n = statics["max_points"], statics["C"], statics["n"]
     pd = statics["pd"]
+    # body-size gate: the kernel unrolls maxN x C slab work per wave —
+    # only the small-shape regime is proven on hardware (two-parabolas
+    # n=2: maxN=6, C=60). Bigger configurations (ZDT n=5: maxN=21, C=210)
+    # failed the round-3 grid at Mosaic-compile level; the vmapped XLA
+    # wave loop is the reliable lowering there.
+    if maxN * C > _R4_MAX_BODY:
+        return 0
     # dominant live slabs per lane (floats): the six maxN-lists of (C,)
     # slabs, the Givens per-candidate copies, ~10 (C,) scalars slabs, the
     # five (maxN, maxN) factors, sites and X
@@ -394,8 +412,14 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
             return jnp.moveaxis(a, d, 0)
 
         args0 = tuple(at0(a, d) for a, d in zip(args, dims))
-        if _pallas_ok(dtype):
-            cap = args0[0].shape[1]
+        cap = args0[0].shape[1]
+        # size gate: the kernel's coordinate-sliced body scales ~n^2 in op
+        # count and Mosaic compile time grows super-linearly with it —
+        # n=10 compiles in tens of minutes, n=15 effectively hangs the
+        # remote compile helper. Large-n solves keep the plain XLA
+        # lowering (n=15 compiled in ~17 min there, round-2 grid).
+        if (_pallas_ok(dtype) and n <= _SELECTION_MAX_N
+                and cap <= _SELECTION_MAX_CAP):
             outs = _pallas_selection(statics, size, cap, n, *args0)
         else:
             outs = jax.vmap(core)(*args0)
