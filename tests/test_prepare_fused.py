@@ -68,3 +68,21 @@ def test_unbatched_call_uses_core():
     out = sel(*single)
     assert out[0].shape == (2,)
     assert np.asarray(out[1]).shape == ()
+
+
+def test_kernel_shape_gates():
+    """Fused kernels stay in their hardware-proven shape regime: bench-like
+    shapes route to Pallas, reference-budget ZDT shapes fall back to the
+    plain XLA lowering (the round-3 grid showed Mosaic-compile failures at
+    maxN*C = 4410 and cap ~2000 — see prepare_fused gate comments)."""
+    from morbit_tpu.ops import prepare_fused as pf
+
+    # round-4: two-parabolas bench shapes fit, ZDT n=5 shapes do not
+    bench = dict(max_points=6, C=60, n=2, pd=3)
+    zdt5 = dict(max_points=21, C=210, n=5, pd=6)
+    zdt10 = dict(max_points=66, C=660, n=10, pd=11)
+    assert pf._r4_tile(bench) >= 32
+    assert pf._r4_tile(zdt5) == 0
+    assert pf._r4_tile(zdt10) == 0
+    # selection gates
+    assert pf._SELECTION_MAX_N >= 2 and pf._SELECTION_MAX_CAP >= 157
