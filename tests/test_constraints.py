@@ -208,3 +208,18 @@ def test_restoration_fails_acceptably_infeasible_exit():
     assert int(res.stop_code) == STOP_CODE.INFEASIBLE
     # the restoration left a finite iterate, not garbage
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_restoration_eval_count_lock():
+    """Exact-integer lock on restoration's counting rule (round-2 VERDICT
+    weakness #4: the 2-counted-evals-per-GD-iteration correspondence to
+    COBYLA's call count is a modeled constant — this pins it): the scripted
+    f64 run performs 3 merit-descent iterations (2 counted evals each,
+    value + AD gradient pass) plus the final evaluate_true at x_r."""
+    solver, st = _restoration_setup()
+    theta_k = solver._theta(st)
+    before = int(st.groups[2].n_evals)
+    out = solver._restoration(st, theta_k, jnp.full((2,), jnp.nan))
+    used = int(out.groups[2].n_evals) - before
+    assert used == 7                 # 3 iterations x 2 + 1 (locked)
+    assert used % 2 == 1             # structure: 2k + 1
