@@ -187,3 +187,36 @@ def halton_starts(count: int, lb, ub, start_index: int = 1) -> np.ndarray:
     ub = np.asarray(ub)
     u = halton(count, lb.shape[0], start_index)
     return lb + (ub - lb) * u
+
+
+def zdt_front(name: str, count: int = 256) -> np.ndarray:
+    """Dense sampling of the analytic Pareto front, shape (count, 2).
+
+    The ZDT fronts live on the ``g = 1`` surface with ``f1 = x0 in [0, 1]``
+    (Zitzler et al. 2000); ZDT3's curve is additionally filtered to its
+    nondominated (disconnected) subset. Used by the benchmark/quality
+    observables (the reference harness records per-run criticality/evals,
+    ``examples/large_scale_benchmarks.jl:124,239-241`` — front distance is
+    the rebuild's additional quality metric, tests/test_zdt_quality.py)."""
+    f1 = np.linspace(0.0, 1.0, count)
+    if name == "zdt1":
+        f2 = 1.0 - np.sqrt(f1)
+    elif name == "zdt2":
+        f2 = 1.0 - f1 ** 2
+    elif name == "zdt3":
+        f2 = 1.0 - np.sqrt(f1) - f1 * np.sin(10.0 * np.pi * f1)
+    elif name == "zdt4":
+        f2 = 1.0 - np.sqrt(f1)
+    elif name == "zdt6":
+        f1 = 1.0 - np.exp(-4.0 * f1) * np.sin(6.0 * np.pi * f1) ** 6
+        f2 = 1.0 - f1 ** 2
+    else:
+        raise ValueError(f"unknown ZDT problem {name!r}")
+    pts = np.stack([f1, f2], axis=1)
+    # keep the nondominated subset (ZDT3/6 curves contain dominated arcs)
+    keep = np.ones(len(pts), bool)
+    for i in range(len(pts)):
+        keep[i] = not np.any(
+            (pts[:, 0] <= pts[i, 0]) & (pts[:, 1] <= pts[i, 1])
+            & ((pts[:, 0] < pts[i, 0]) | (pts[:, 1] < pts[i, 1])))
+    return pts[keep]
