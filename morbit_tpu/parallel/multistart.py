@@ -66,6 +66,122 @@ def default_mesh(axis: str = "batch") -> Mesh:
     return Mesh(devs, (axis,))
 
 
+class CompactedMultistart:
+    """Reusable compacted-multistart runner (see :func:`compacted_multistart`).
+
+    Holds the solver and every jitted stage/gather/scatter program so that
+    REPEATED fleets (a benchmark loop, a service) pay compilation once per
+    (bucket, k) shape instead of once per call — a fresh
+    ``compacted_multistart`` call rebuilds its jits and recompiles every
+    bucket program (~40s each on the TPU tunnel)."""
+
+    def __init__(self, mop, algo_config: Optional[AlgorithmConfig] = None,
+                 dtype=jnp.float32, stage_iters: int = 10,
+                 bucket_ladder: Optional[tuple] = None):
+        self.solver = build_solver(mop, algo_config, dtype)
+        self.dtype = dtype
+        self.stage_iters = int(stage_iters)
+        self.bucket_ladder = bucket_ladder
+        self._init = jax.jit(jax.vmap(self.solver.initialize))
+        self._stage = jax.jit(self._stage_impl, static_argnums=1,
+                              donate_argnums=0)
+        self._gather = jax.jit(
+            lambda st, idx: jax.tree_util.tree_map(lambda a: a[idx], st))
+        self._scatter = jax.jit(
+            lambda full, part, idx: jax.tree_util.tree_map(
+                lambda f, p: f.at[idx].set(p), full, part),
+            donate_argnums=0)
+        self._totals = jax.jit(jax.vmap(self.solver._total_evals))
+
+    def _stage_impl(self, states, k):
+        # run at most k further outer iterations per lane (k static); the
+        # final stage passes k > max_iter and runs to completion — the
+        # iterate() pre-checks guarantee termination
+        from morbit_tpu.core.enums import STOP_CODE
+
+        solver = self.solver
+
+        def one(s):
+            def cond(c):
+                st, j = c
+                return (st.stop_code == STOP_CODE.CONTINUE) & (j < k)
+
+            def body(c):
+                st, j = c
+                return solver.iterate(st), j + jnp.int32(1)
+
+            st, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+            return st
+
+        return jax.vmap(one)(states)
+
+    def __call__(self, x0_batch) -> OptimizeResult:
+        from morbit_tpu.core.enums import STOP_CODE
+
+        x0_batch = jnp.asarray(x0_batch, self.dtype)
+        B = x0_batch.shape[0]
+        max_iter = self.solver.ac.max_iter
+        stage_iters = self.stage_iters
+        bucket_ladder = self.bucket_ladder
+        if bucket_ladder is None:
+            bucket_ladder = tuple(max(1, B >> s) for s in range(5))
+        ladder = sorted({int(b) for b in bucket_ladder if b <= B},
+                        reverse=True)
+        if not ladder or ladder[0] != B:
+            ladder = [B] + [b for b in ladder if b < B]
+
+        active = self._init(x0_batch)
+        full = None  # set on first stage; while uncompacted, full IS active
+        glob_idx = jnp.arange(B)
+        compacted = False
+        n_stages_max = (max_iter + 2 + stage_iters - 1) // stage_iters + 1
+
+        for _ in range(n_stages_max):
+            bucket = active.x.shape[0]
+            k = stage_iters if bucket > ladder[-1] else max_iter + 2
+            active = self._stage(active, k)
+            # NOTE on donation: ``stage`` donates its input, so ``full``
+            # must never alias a stage input. While the batch is uncompacted
+            # the stage output covers every lane and simply becomes
+            # ``full``; after the first compaction ``gather`` materializes
+            # fresh arrays for ``active``, so ``full`` and ``active`` are
+            # disjoint from then on.
+            full = active if not compacted else self._scatter(
+                full, active, glob_idx)
+            if k > max_iter:
+                break
+            # only the tiny packed-int vector crosses the tunnel per stage
+            stop = np.asarray(active.ints[:, 2])
+            # padded duplicate lanes carry a duplicated global index; mask
+            # them out so each live lane is tracked once
+            first_occurrence = np.zeros(len(stop), bool)
+            _, first_pos = np.unique(np.asarray(glob_idx), return_index=True)
+            first_occurrence[first_pos] = True
+            sel = np.nonzero((stop == int(STOP_CODE.CONTINUE)) &
+                             first_occurrence)[0]
+            if sel.size == 0:
+                break
+            new_bucket = next((b for b in reversed(ladder) if b >= sel.size),
+                              ladder[0])
+            if new_bucket == bucket:
+                continue
+            # pad with finished lanes: their while-loop condition is false
+            # on entry, so they do zero work, and re-scattering their
+            # unchanged state is a no-op write
+            done_pool = np.nonzero(stop != int(STOP_CODE.CONTINUE))[0]
+            pad_src = done_pool if done_pool.size else sel[:1]
+            pad = np.resize(pad_src, new_bucket - sel.size)
+            take = jnp.asarray(np.concatenate([sel, pad]), jnp.int32)
+            glob_idx = glob_idx[take]
+            active = self._gather(active, take)
+            compacted = True
+
+        n_evals = self._totals(full.groups)
+        return OptimizeResult(
+            x=full.x, fx=full.fx, stop_code=full.stop_code,
+            n_iterations=full.iter_counter - 1, n_evals=n_evals, state=full)
+
+
 def compacted_multistart(
     mop,
     x0_batch,
@@ -97,95 +213,15 @@ def compacted_multistart(
     B, B/2, B/4, B/8, B/16). Each distinct bucket compiles one stage
     program, so keep the ladder short. Between stages only the packed int
     bookkeeping vector crosses to the host (stop codes), not the state.
+
+    One-shot convenience wrapper: REPEATED fleets should construct a
+    :class:`CompactedMultistart` once and call it per batch, which reuses
+    the compiled bucket programs instead of recompiling them every call.
     """
-    from morbit_tpu.core.enums import STOP_CODE
-
-    solver = build_solver(mop, algo_config, dtype)
-    x0_batch = jnp.asarray(x0_batch, dtype)
-    B = x0_batch.shape[0]
-    max_iter = solver.ac.max_iter
-    if bucket_ladder is None:
-        bucket_ladder = tuple(max(1, B >> s) for s in range(5))
-    ladder = sorted({int(b) for b in bucket_ladder if b <= B}, reverse=True)
-    if not ladder or ladder[0] != B:
-        ladder = [B] + [b for b in ladder if b < B]
-
-    init = jax.jit(jax.vmap(solver.initialize))
-
-    def _stage(states, k):
-        # run at most k further outer iterations per lane (k static); the
-        # final stage passes k > max_iter and runs to completion — the
-        # iterate() pre-checks guarantee termination
-        def one(s):
-            def cond(c):
-                st, j = c
-                return (st.stop_code == STOP_CODE.CONTINUE) & (j < k)
-
-            def body(c):
-                st, j = c
-                return solver.iterate(st), j + jnp.int32(1)
-
-            st, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
-            return st
-
-        return jax.vmap(one)(states)
-
-    stage = jax.jit(_stage, static_argnums=1, donate_argnums=0)
-    gather = jax.jit(
-        lambda st, idx: jax.tree_util.tree_map(lambda a: a[idx], st))
-    scatter = jax.jit(
-        lambda full, part, idx: jax.tree_util.tree_map(
-            lambda f, p: f.at[idx].set(p), full, part),
-        donate_argnums=0)
-
-    active = init(x0_batch)
-    full = None  # set on first stage; while uncompacted, full IS active
-    glob_idx = jnp.arange(B)
-    compacted = False
-    n_stages_max = (max_iter + 2 + stage_iters - 1) // stage_iters + 1
-
-    for _ in range(n_stages_max):
-        bucket = active.x.shape[0]
-        k = stage_iters if bucket > ladder[-1] else max_iter + 2
-        active = stage(active, k)
-        # NOTE on donation: ``stage`` donates its input, so ``full`` must
-        # never alias a stage input. While the batch is uncompacted the
-        # stage output covers every lane and simply becomes ``full``; after
-        # the first compaction ``gather`` materializes fresh arrays for
-        # ``active``, so ``full`` and ``active`` are disjoint from then on.
-        full = active if not compacted else scatter(full, active, glob_idx)
-        if k > max_iter:
-            break
-        # only the tiny packed-int vector crosses the tunnel per stage
-        stop = np.asarray(active.ints[:, 2])
-        # padded duplicate lanes (see below) carry a duplicated global index;
-        # mask them out so each live lane is tracked once
-        first_occurrence = np.zeros(len(stop), bool)
-        _, first_pos = np.unique(np.asarray(glob_idx), return_index=True)
-        first_occurrence[first_pos] = True
-        sel = np.nonzero((stop == int(STOP_CODE.CONTINUE)) &
-                         first_occurrence)[0]
-        if sel.size == 0:
-            break
-        new_bucket = next((b for b in reversed(ladder) if b >= sel.size),
-                          ladder[0])
-        if new_bucket == bucket:
-            continue
-        # pad with finished lanes: their while-loop condition is false on
-        # entry, so they do zero work, and re-scattering their unchanged
-        # state is a no-op write
-        done_pool = np.nonzero(stop != int(STOP_CODE.CONTINUE))[0]
-        pad_src = done_pool if done_pool.size else sel[:1]
-        pad = np.resize(pad_src, new_bucket - sel.size)
-        take = jnp.asarray(np.concatenate([sel, pad]), jnp.int32)
-        glob_idx = glob_idx[take]
-        active = gather(active, take)
-        compacted = True
-
-    n_evals = jax.jit(jax.vmap(solver._total_evals))(full.groups)
-    return OptimizeResult(
-        x=full.x, fx=full.fx, stop_code=full.stop_code,
-        n_iterations=full.iter_counter - 1, n_evals=n_evals, state=full)
+    runner = CompactedMultistart(mop, algo_config, dtype,
+                                 stage_iters=stage_iters,
+                                 bucket_ladder=bucket_ladder)
+    return runner(x0_batch)
 
 
 def parametric_multistart(

@@ -27,7 +27,7 @@ import numpy as np
 
 from morbit_tpu.core.config import AlgorithmConfig
 from morbit_tpu.models.configs import RbfConfig
-from morbit_tpu.parallel.multistart import compacted_multistart
+from morbit_tpu.parallel.multistart import CompactedMultistart
 from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
 
 BATCH = 1024
@@ -41,10 +41,10 @@ def measure(stage_iters, ladder, n_rep=3):
     ac = AlgorithmConfig(max_iter=MAX_ITER, qp_iters=QP_ITERS)
     x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), jnp.float32)
 
-    def run(xi):
-        return compacted_multistart(mop, xi, ac, dtype=jnp.float32,
-                                    stage_iters=stage_iters,
-                                    bucket_ladder=ladder)
+    # the runner holds the compiled bucket programs — repeated batches
+    # reuse them (a fresh compacted_multistart call would recompile)
+    run = CompactedMultistart(mop, ac, dtype=jnp.float32,
+                              stage_iters=stage_iters, bucket_ladder=ladder)
 
     # warmup twice (compiles every bucket program the schedule touches)
     t0 = time.perf_counter()
