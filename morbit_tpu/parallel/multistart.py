@@ -77,11 +77,19 @@ class CompactedMultistart:
 
     def __init__(self, mop, algo_config: Optional[AlgorithmConfig] = None,
                  dtype=jnp.float32, stage_iters: int = 10,
-                 bucket_ladder: Optional[tuple] = None):
+                 bucket_ladder: Optional[tuple] = None,
+                 stage_schedule: Optional[tuple] = None):
         self.solver = build_solver(mop, algo_config, dtype)
         self.dtype = dtype
-        self.stage_iters = int(stage_iters)
+        self.stage_iters = int(stage_iters) if stage_iters is not None else 10
         self.bucket_ladder = bucket_ladder
+        # explicit per-stage iteration counts (overrides stage_iters):
+        # retirement is front-loaded, so short early stages + long late
+        # stages beat a fixed length; after the schedule is exhausted the
+        # next stage runs to completion. Each distinct (bucket, k) compiles
+        # one program — keep the distinct k values few.
+        self.stage_schedule = (tuple(int(k) for k in stage_schedule)
+                               if stage_schedule is not None else None)
         self._init = jax.jit(jax.vmap(self.solver.initialize))
         self._stage = jax.jit(self._stage_impl, static_argnums=1,
                               donate_argnums=0)
@@ -134,11 +142,17 @@ class CompactedMultistart:
         full = None  # set on first stage; while uncompacted, full IS active
         glob_idx = jnp.arange(B)
         compacted = False
-        n_stages_max = (max_iter + 2 + stage_iters - 1) // stage_iters + 1
+        schedule = self.stage_schedule
+        n_stages_max = (len(schedule) + 1 if schedule is not None else
+                        (max_iter + 2 + stage_iters - 1) // stage_iters + 1)
 
-        for _ in range(n_stages_max):
+        for i_stage in range(n_stages_max):
             bucket = active.x.shape[0]
-            k = stage_iters if bucket > ladder[-1] else max_iter + 2
+            if schedule is not None:
+                k = (schedule[i_stage] if i_stage < len(schedule)
+                     else max_iter + 2)
+            else:
+                k = stage_iters if bucket > ladder[-1] else max_iter + 2
             active = self._stage(active, k)
             # NOTE on donation: ``stage`` donates its input, so ``full``
             # must never alias a stage input. While the batch is uncompacted
@@ -189,6 +203,7 @@ def compacted_multistart(
     dtype=jnp.float32,
     stage_iters: int = 10,
     bucket_ladder: Optional[tuple] = None,
+    stage_schedule: Optional[tuple] = None,
 ) -> OptimizeResult:
     """Straggler-free multistart: staged solve with lane compaction.
 
@@ -220,7 +235,8 @@ def compacted_multistart(
     """
     runner = CompactedMultistart(mop, algo_config, dtype,
                                  stage_iters=stage_iters,
-                                 bucket_ladder=bucket_ladder)
+                                 bucket_ladder=bucket_ladder,
+                                 stage_schedule=stage_schedule)
     return runner(x0_batch)
 
 

@@ -108,6 +108,33 @@ def test_compacted_multistart_matches_plain():
             np.testing.assert_array_equal(a, b)
 
 
+def test_compacted_stage_schedule_matches_plain():
+    """Variable per-stage lengths (the offline-optimized schedules) and the
+    reusable runner must replay the plain solve exactly; a second runner
+    call reuses the compiled bucket programs."""
+    from morbit_tpu.parallel.multistart import CompactedMultistart
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    x0 = halton_starts(16, mop.lb, mop.ub)
+    ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    run = CompactedMultistart(mop, ac, dtype=jnp.float64,
+                              bucket_ladder=(16, 8, 4, 2),
+                              stage_schedule=(3, 2, 4))
+    res = run(x0)
+    for a, b in zip(jax.tree_util.tree_leaves(res),
+                    jax.tree_util.tree_leaves(ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+        else:
+            np.testing.assert_array_equal(a, b)
+    # runner reuse: second batch, same shapes -> no retrace, same answers
+    res2 = run(x0)
+    np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
+
+
 def test_compacted_multistart_f32_smoke():
     """float32 compaction smoke: ulp-level lowering differences per bucket
     shape can flip individual acceptance branches (same caveat as the

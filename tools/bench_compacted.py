@@ -35,7 +35,7 @@ MAX_ITER = 100
 QP_ITERS = 400
 
 
-def measure(stage_iters, ladder, n_rep=3):
+def measure(stage_iters, ladder, n_rep=3, schedule=None):
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=MAX_ITER, qp_iters=QP_ITERS)
@@ -44,7 +44,8 @@ def measure(stage_iters, ladder, n_rep=3):
     # the runner holds the compiled bucket programs — repeated batches
     # reuse them (a fresh compacted_multistart call would recompile)
     run = CompactedMultistart(mop, ac, dtype=jnp.float32,
-                              stage_iters=stage_iters, bucket_ladder=ladder)
+                              stage_iters=stage_iters, bucket_ladder=ladder,
+                              stage_schedule=schedule)
 
     # warmup twice (compiles every bucket program the schedule touches)
     t0 = time.perf_counter()
@@ -63,10 +64,13 @@ def measure(stage_iters, ladder, n_rep=3):
         jax.block_until_ready(res.x)
         times.append(time.perf_counter() - t0)
     dt = float(np.mean(times))
-    print(f"stage_iters={stage_iters:3d} ladder={ladder}  "
+    tag = (f"schedule={schedule}" if schedule is not None
+           else f"stage_iters={stage_iters:3d}")
+    print(f"{tag} ladder={ladder}  "
           f"{dt * 1e3:8.1f} ms/batch  {BATCH / dt:8.1f} runs/s  "
           f"(compile+first {compile_s:.1f}s)")
     return {"stage_iters": stage_iters, "ladder": list(ladder),
+            "schedule": list(schedule) if schedule is not None else None,
             "wall_ms_per_batch": round(dt * 1e3, 1),
             "runs_per_sec": round(BATCH / dt, 1),
             "compile_plus_first_run_s": round(compile_s, 1)}
@@ -75,12 +79,18 @@ def measure(stage_iters, ladder, n_rep=3):
 def main():
     print("platform:", jax.devices()[0].platform)
     results = []
+    # fixed-length settings (round-3 baseline measurements)
     for stage_iters, ladder in [
-        (15, (1024, 512, 128, 64)),
         (10, (1024, 512, 256, 128, 64)),
-        (8, (1024, 512, 256, 64)),
     ]:
         results.append(measure(stage_iters, ladder))
+    # schedule settings from the offline optimizer over the measured
+    # retirement CDF + per-bucket iteration costs (profile_compaction.py):
+    # retirement is front-loaded, so one long first stage to ~t=12 (active
+    # first drops below 512 there), then short stages down the ladder
+    for schedule in [(12, 5, 8), (12, 8), (12, 6, 7, 10)]:
+        results.append(measure(None, (1024, 512, 256, 128, 64),
+                               schedule=schedule))
     best = max(results, key=lambda r: r["runs_per_sec"])
     print("best:", json.dumps(best))
     out = pathlib.Path(__file__).resolve().parent.parent / \
