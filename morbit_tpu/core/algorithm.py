@@ -275,6 +275,11 @@ class Solver:
         )
         self.db_capacity = ac.resolved_db_capacity(mop.n_vars, max_model_pts,
                                                    sites_per_iter)
+        #: (max_model_points, sites_per_iter) — the non-config inputs of
+        #: resolved_db_capacity, kept so staged runners can re-evaluate the
+        #: formula at intermediate iteration bounds (CompactedMultistart's
+        #: growing per-stage capacity)
+        self._cap_terms = (max_model_pts, sites_per_iter)
         self.container = SurrogateContainer(mop, dtype, ac, self.scal,
                                             self.db_capacity,
                                             log_level=self.log_level)
@@ -402,7 +407,8 @@ class Solver:
                                                   l_i_n, scal)
             d, omega = steepest_descent_direction(
                 x_n_s, Dm, scal.lb_scaled, scal.ub_scaled, lin,
-                normalize=self.desc_cfg.normalize, qp_iters=self.ac.qp_iters)
+                normalize=self.desc_cfg.normalize, qp_iters=self.ac.qp_iters,
+                qp_exit_eps=self.ac.qp_exit_eps)
             return omega, d, groups
         return self._ps_criticality(groups, x_s, x_n_s, fx_n, delta, scal)
 
@@ -775,7 +781,8 @@ class Solver:
             n_step, delta_n, feasible = normal_step(
                 state.x_s, scal.lb_scaled, scal.ub_scaled, lin,
                 ac.filter_kappa_delta, ac.delta_max, state.delta,
-                variable_radius, qp_iters=ac.qp_iters)
+                variable_radius, qp_iters=ac.qp_iters,
+                qp_exit_eps=ac.qp_exit_eps)
             return jnp.asarray(False), n_step, delta_n, feasible
 
         _, n_step, delta_n, feasible = jax.lax.while_loop(

@@ -78,7 +78,8 @@ class CompactedMultistart:
     def __init__(self, mop, algo_config: Optional[AlgorithmConfig] = None,
                  dtype=jnp.float32, stage_iters: int = 10,
                  bucket_ladder: Optional[tuple] = None,
-                 stage_schedule: Optional[tuple] = None):
+                 stage_schedule: Optional[tuple] = None,
+                 grow_db: bool = True):
         self.solver = build_solver(mop, algo_config, dtype)
         self.dtype = dtype
         self.stage_iters = int(stage_iters) if stage_iters is not None else 10
@@ -90,6 +91,17 @@ class CompactedMultistart:
         # one program — keep the distinct k values few.
         self.stage_schedule = (tuple(int(k) for k in stage_schedule)
                                if stage_schedule is not None else None)
+        # per-stage GROWING database capacity: per-iteration device cost is
+        # dominated by capacity-proportional work (full-buffer layout
+        # copies at while-loop boundaries + O(capacity) selection scans —
+        # measured 795.6 vs 163.5 ms/batch at caps 1507 vs 160 on v5e), but
+        # a lane that has executed only t iterations can hold at most
+        # resolved_db_capacity(max_iter=t) rows. Each stage therefore runs
+        # at the capacity its cumulative iteration bound implies, and the
+        # database is grown by zero-row padding between stages — bit-exact
+        # (rows are append-only, indices stay valid, and the formula is the
+        # same safe upper bound that sizes the full run).
+        self.grow_db = bool(grow_db)
         self._init = jax.jit(jax.vmap(self.solver.initialize))
         self._stage = jax.jit(self._stage_impl, static_argnums=1,
                               donate_argnums=0)
@@ -100,6 +112,46 @@ class CompactedMultistart:
                 lambda f, p: f.at[idx].set(p), full, part),
             donate_argnums=0)
         self._totals = jax.jit(jax.vmap(self.solver._total_evals))
+
+    def _cap_at(self, cum_iters: int) -> int:
+        """Database capacity bound after ``cum_iters`` outer iterations —
+        resolved_db_capacity evaluated at ``max_iter=cum_iters`` (monotone),
+        clamped to the full-run capacity."""
+        import dataclasses as _dc
+
+        ac = self.solver.ac
+        full = self.solver.db_capacity
+        if not self.grow_db:
+            return full
+        if ac.db_capacity > 0:  # explicit user capacity: honor it verbatim
+            return full
+        cap = _dc.replace(ac, max_iter=int(cum_iters)).resolved_db_capacity(
+            self.solver.mop.n_vars, *self.solver._cap_terms)
+        return min(int(cap), int(full))
+
+    @staticmethod
+    def _resize_dbs(states, new_cap: int):
+        """Grow (zero-row pad) or trim each group database to ``new_cap``
+        rows along the capacity axis. Exact: rows are append-only, row
+        indices are stable under end-padding, and trimming only ever
+        removes rows above every lane's fill count (callers pass the
+        per-stage bound)."""
+        def fix(g):
+            data = g.db.data
+            cap = data.shape[-2]
+            if new_cap == cap:
+                return g
+            if new_cap > cap:
+                pad = jnp.zeros(data.shape[:-2] + (new_cap - cap,
+                                                   data.shape[-1]),
+                                data.dtype)
+                data2 = jnp.concatenate([data, pad], axis=-2)
+            else:
+                data2 = data[..., :new_cap, :]
+            import dataclasses as _dc
+            return g._replace(db=_dc.replace(g.db, data=data2))
+
+        return states._replace(groups=tuple(fix(g) for g in states.groups))
 
     def _stage_impl(self, states, k):
         # run at most k further outer iterations per lane (k static); the
@@ -138,6 +190,7 @@ class CompactedMultistart:
         if not ladder or ladder[0] != B:
             ladder = [B] + [b for b in ladder if b < B]
 
+        full_cap = self.solver.db_capacity
         active = self._init(x0_batch)
         full = None  # set on first stage; while uncompacted, full IS active
         glob_idx = jnp.arange(B)
@@ -145,6 +198,7 @@ class CompactedMultistart:
         schedule = self.stage_schedule
         n_stages_max = (len(schedule) + 1 if schedule is not None else
                         (max_iter + 2 + stage_iters - 1) // stage_iters + 1)
+        cum_iters = 0
 
         for i_stage in range(n_stages_max):
             bucket = active.x.shape[0]
@@ -153,15 +207,23 @@ class CompactedMultistart:
                      else max_iter + 2)
             else:
                 k = stage_iters if bucket > ladder[-1] else max_iter + 2
+            # run this stage at the capacity its iteration bound implies
+            cum_iters = min(cum_iters + k, max_iter + 2)
+            active = self._resize_dbs(active, self._cap_at(cum_iters))
             active = self._stage(active, k)
             # NOTE on donation: ``stage`` donates its input, so ``full``
             # must never alias a stage input. While the batch is uncompacted
             # the stage output covers every lane and simply becomes
             # ``full``; after the first compaction ``gather`` materializes
             # fresh arrays for ``active``, so ``full`` and ``active`` are
-            # disjoint from then on.
-            full = active if not compacted else self._scatter(
-                full, active, glob_idx)
+            # disjoint from then on. ``full`` always carries the FULL
+            # database capacity; a reduced-capacity stage output is padded
+            # back up before becoming/merging into it.
+            if not compacted:
+                full = self._resize_dbs(active, full_cap)
+            else:
+                full = self._scatter(full, self._resize_dbs(active, full_cap),
+                                     glob_idx)
             if k > max_iter:
                 break
             # only the tiny packed-int vector crosses the tunnel per stage

@@ -88,7 +88,7 @@ def main():
     # retirement CDF + per-bucket iteration costs (profile_compaction.py):
     # retirement is front-loaded, so one long first stage to ~t=12 (active
     # first drops below 512 there), then short stages down the ladder
-    for schedule in [(12, 5, 8), (12, 8), (12, 6, 7, 10)]:
+    for schedule in [(12, 8), (12, 8, 12), (12, 8, 12, 16)]:
         results.append(measure(None, (1024, 512, 256, 128, 64),
                                schedule=schedule))
     best = max(results, key=lambda r: r["runs_per_sec"])
