@@ -360,7 +360,11 @@ class Solver:
             parts.append(
                 self.container.train_stamps(groups).astype(dt))
         row = jnp.concatenate(parts)
-        data = jnp.where(ok, traj.data.at[slot].set(row), traj.data)
+        # one-hot SELECT, not at[slot].set: a traced per-lane slot lowers
+        # under vmap to a batched scatter that XLA serializes as a
+        # while-loop over the batch (see dbm._onehot_write)
+        hit = (jnp.arange(self.T) == slot) & ok
+        data = jnp.where(hit[:, None], row[None, :], traj.data)
         return dataclasses.replace(traj, data=data, count=traj.count + 1)
 
     def _total_evals(self, groups):
@@ -1600,9 +1604,13 @@ class Solver:
                            delta_new, rho, omega, steplength, 0,
                            next_state.x_indices, next_state.groups)
         it_col = traj.n + traj.m + 4
-        traj = dataclasses.replace(traj, data=traj.data.at[
-            jnp.clip(traj.count - 1, 0, self.T - 1), it_col].set(
-                jnp.asarray(it_stat, traj.data.dtype)))
+        # one-hot row select at the traced per-lane slot (see _stamp)
+        row_hit = jnp.arange(self.T) == jnp.clip(traj.count - 1, 0,
+                                                 self.T - 1)
+        col_new = jnp.where(row_hit, jnp.asarray(it_stat, traj.data.dtype),
+                            traj.data[:, it_col])
+        traj = dataclasses.replace(
+            traj, data=traj.data.at[:, it_col].set(col_new))
         next_state = next_state._replace(traj=traj)
 
         # ---- stopping tests (``:868-872`` + ``:905-914``)

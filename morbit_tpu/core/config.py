@@ -106,6 +106,12 @@ class AlgorithmConfig:
     # fixed iteration budget of the batched ADMM QP solver
     qp_iters: int = 400
     qp_polish: bool = True
+    # residual early exit for the ADMM rho-stages (OSQP check_termination
+    # analogue). 0 = fixed trips (default — REQUIRED for the committed f64
+    # golden trajectories, and measured FASTER for large vmapped fleets,
+    # where straggler lanes hold every stage and the exit loop only adds
+    # boundary overhead). Set e.g. 1e-5 for sequential/unbatched solves.
+    qp_exit_eps: float = 0.0
     # trajectory ring buffer length (IterSaveable stamps); <=0 -> max_iter+2
     trajectory_capacity: int = -1
     # stamp each iteration's per-group model training sets (db row indices

@@ -121,6 +121,7 @@ def steepest_descent_direction(
     lin: LinearizedConstraints,
     normalize: bool = True,
     qp_iters: int = 400,
+    qp_exit_eps: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Solve the min-max LP; returns (d, omega). ``descent.jl:91-135``.
 
@@ -162,7 +163,7 @@ def steepest_descent_direction(
     ])
     qv = jnp.zeros((nv,), dtype).at[n].set(1.0)
     P = jnp.zeros((nv, nv), dtype)
-    sol = solve_qp(P, qv, A, l, u, iters=qp_iters)
+    sol = solve_qp(P, qv, A, l, u, iters=qp_iters, exit_eps=qp_exit_eps)
 
     d = sol.z[:n]
     omega = -sol.z[n]
@@ -285,6 +286,7 @@ def normal_step(
     delta: jax.Array,
     variable_radius,
     qp_iters: int = 400,
+    qp_exit_eps: float = 0.0,
 ):
     """Min-inf-norm step onto the linearized feasible set
     (``compute_normal_step``, ``descent.jl:691-758``).
@@ -343,7 +345,7 @@ def normal_step(
 
     P = jnp.zeros((nv, nv), dtype)
     qv, l, u = bounds(variable_radius)
-    sol = solve_qp(P, qv, A, l, u, iters=qp_iters)
+    sol = solve_qp(P, qv, A, l, u, iters=qp_iters, exit_eps=qp_exit_eps)
 
     feasible = sol.status_ok
     n_step = sol.z[:n]

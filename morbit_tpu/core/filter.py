@@ -60,12 +60,14 @@ def add_entry(filt: FilterState, theta_k, f_k, shift) -> FilterState:
     """Envelope-shifted insert (``AbstractFilterInterface.jl:32-39``)."""
     cap = filt.theta.shape[0]
     ok = filt.count < cap
-    slot = jnp.clip(filt.count, 0, cap - 1)
     theta = theta_k - shift * theta_k
     f = f_k - shift * theta_k
+    # one-hot selects at the traced per-lane slot (scatter serializes as a
+    # lane loop under vmap — see dbm._onehot_write)
+    hit = ok & (jnp.arange(cap) == jnp.clip(filt.count, 0, cap - 1))
     return FilterState(
-        theta=jnp.where(ok, filt.theta.at[slot].set(theta), filt.theta),
-        fvals=jnp.where(ok, filt.fvals.at[slot].set(f), filt.fvals),
+        theta=jnp.where(hit, theta, filt.theta),
+        fvals=jnp.where(hit[:, None], f[None, :], filt.fvals),
         count=jnp.where(ok, filt.count + 1, filt.count),
     )
 

@@ -507,8 +507,11 @@ class RbfOps(SurrogateOps):
                 db, idx, count = carry
                 do = acc_r[i]
                 db, new_id = dbm.add_site(db, X_all[cap + i], do_add=do)
-                slot = jnp.clip(count, 0, self.cap_train - 1)
-                idx = jnp.where(do, idx.at[slot].set(new_id), idx)
+                # one-hot select at the traced per-lane slot (scatter
+                # serializes as a lane loop under vmap — dbm._onehot_write)
+                hit = do & (jnp.arange(self.cap_train)
+                            == jnp.clip(count, 0, self.cap_train - 1))
+                idx = jnp.where(hit, new_id, idx)
                 count = jnp.where(do, count + 1, count)
                 return db, idx, count
 
@@ -537,8 +540,9 @@ class RbfOps(SurrogateOps):
         success = do & (jnp.max(jnp.abs(offset)) > piv1)
 
         db, new_id = dbm.add_site(db, x + offset, do_add=success)
-        slot = jnp.clip(state.n_train, 0, self.cap_train - 1)
-        idx = jnp.where(success, state.idx.at[slot].set(new_id), state.idx)
+        hit = success & (jnp.arange(self.cap_train)
+                         == jnp.clip(state.n_train, 0, self.cap_train - 1))
+        idx = jnp.where(hit, new_id, state.idx)
         n_train = jnp.where(success, state.n_train + 1, state.n_train)
         head = jnp.where(do, state.dirs_head + 1, state.dirs_head)
         fl = jnp.where(success & (head >= state.dirs_count), True, state.fully_linear)

@@ -132,3 +132,27 @@ def test_steepest_descent_shape_lp():
     # => alpha = min over d in box of max_i d_i*2/2 => d = (-1,-1), alpha = -1
     assert np.isclose(float(sol.obj), -1.0, atol=1e-6)
     assert np.allclose(np.asarray(sol.z[:2]), [-1.0, -1.0], atol=1e-5)
+
+
+def test_f32_early_exit_matches_fixed_budget():
+    """The opt-in residual early exit (OSQP ``check_termination`` analogue,
+    Stellato et al. §5.1; for sequential/unbatched solves — off by default:
+    measured slower for large vmapped fleets, see solve_qp docstring) must
+    return the same solutions as the fixed 400-iteration budget: the
+    active-set polish recovers the vertex once ADMM is past the exit
+    tolerance."""
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        n, m = 5, 7
+        B = rng.normal(size=(n, n))
+        P = (B @ B.T + 0.5 * np.eye(n)).astype(np.float32)
+        q = rng.normal(size=n).astype(np.float32)
+        A = rng.normal(size=(m, n)).astype(np.float32)
+        l = np.full(m, -np.inf, np.float32)
+        u = rng.uniform(0.5, 2.0, size=m).astype(np.float32)
+        args = tuple(jnp.asarray(a) for a in (P, q, A, l, u))
+        fast = solve_qp(*args, iters=400, exit_eps=1e-5)  # early exit
+        slow = solve_qp(*args, iters=400, exit_eps=0)     # fixed budget
+        assert np.allclose(np.asarray(fast.z), np.asarray(slow.z),
+                           atol=5e-5), "early exit changed the solution"
+        assert float(fast.prim_res) < 1e-4
