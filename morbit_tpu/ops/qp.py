@@ -37,6 +37,79 @@ class QPSolution(NamedTuple):
     status_ok: jax.Array  # bool: residuals below tolerance
 
 
+def _make_stage(P, q, A, l, u, *, n, m, dtype, sigma, alpha, rho_clip,
+                n_steps, unroll_chol):
+    """One ADMM rho-stage (factorize + ``n_steps`` splitting iterations +
+    residual-driven rho rescale) as a closure over the problem data.
+
+    Extracted verbatim from the pre-round-3 inline ``stage`` so the XLA
+    lowering (and the float64 golden trajectories) stay bit-identical; the
+    fused lane-batched kernel (``ops/qp_lane.py``) mirrors these exact
+    formulas. An in-VMEM per-instance Pallas splitting loop
+    (``ops.pallas_kernels.admm_iterations``) remains DISABLED: under vmap
+    the pallas grid executes sequentially per core (measured 727 -> 263
+    runs/s); the lane-batched kernel replaces the whole stage sequence
+    instead.
+
+    Unrolled tiny-k factorizations at <= 32-bit (XLA's batched
+    cholesky/triangular-solve lowerings cost ~1 ms at (1024, 9, 9) on v5e;
+    the unrolled ops fuse to ~us — tools/profile_linalg.py); float64 keeps
+    jnp.linalg for bit-stability with the round-1 golden trajectories, and
+    large n falls back too (unrolled-graph compile blowup)."""
+    import jax
+
+    from morbit_tpu.ops.batched_linalg import chol_factor, chol_solve
+
+    def _chol(M_):
+        return chol_factor(M_) if unroll_chol else jnp.linalg.cholesky(M_)
+
+    def _chol_solve(L_, rhs_):
+        if unroll_chol:
+            return chol_solve(L_, rhs_)
+        return jax.scipy.linalg.cho_solve((L_, True), rhs_)
+
+    def stage(carry, rho_scale_unused=None):
+        z, zz, y, rho_v = carry
+        M = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
+        # Cholesky once per stage; jittered refactorization on breakdown
+        L = _chol(M)
+        bad = ~jnp.all(jnp.isfinite(L))
+        jitter = 1e-3 * (jnp.trace(M) / n + 1.0)
+        L2 = _chol(M + jitter * jnp.eye(n, dtype=dtype))
+        L = jnp.where(bad, L2, L)
+        # pin the factorization outside the splitting loop: without the
+        # barrier XLA can sink the (loop-invariant) Cholesky into the loop
+        # body when A was constructed in-graph — measured ~600x slowdown
+        L = jax.lax.optimization_barrier(L)
+
+        def step(_, s):
+            z, zz, y = s
+            rhs = sigma * z - q + A.T @ (rho_v * zz - y)
+            xt = _chol_solve(L, rhs)
+            zt = A @ xt
+            z_new = alpha * xt + (1 - alpha) * z
+            zz_arg = alpha * zt + (1 - alpha) * zz + y / rho_v
+            zz_new = jnp.clip(zz_arg, l, u)
+            y_new = y + rho_v * (alpha * zt + (1 - alpha) * zz - zz_new)
+            return z_new, zz_new, y_new
+
+        # unroll to amortize while-trip overhead (the body is a handful
+        # of tiny fused ops; 8 bodies per trip measured best on v5e)
+        z, zz, y = jax.lax.fori_loop(0, n_steps, step, (z, zz, y),
+                                     unroll=8)
+
+        # residuals for rho adaptation / early exit
+        Az = A @ z
+        pr = jnp.max(jnp.abs(Az - zz)) if m else jnp.asarray(0.0, dtype)
+        dr = jnp.max(jnp.abs(P @ z + q + A.T @ y))
+        scale = jnp.sqrt(jnp.maximum(pr, 1e-30) / jnp.maximum(dr, 1e-30))
+        scale = jnp.clip(scale, 0.1, 10.0)
+        rho_new = jnp.clip(rho_v * scale, rho_clip[0], rho_clip[1])
+        return (z, zz, y, rho_new), jnp.maximum(pr, dr)
+
+    return stage
+
+
 def _rho_vec(l, u, rho, dtype):
     """Per-row penalty: OSQP uses ``rho*1e3`` on equality rows. The spread
     is narrowed in float32 to keep the KKT factorization well-conditioned."""
@@ -104,81 +177,14 @@ def solve_qp(
         eps = 1e-6 if f32 else 1e-8
     rho_clip = (1e-3, 1e4) if f32 else (1e-6, 1e6)
 
-    # NOTE: an in-VMEM Pallas variant of the splitting loop exists
-    # (ops.pallas_kernels.admm_iterations) but is DISABLED here: under vmap
-    # the pallas grid executes sequentially per core, so batching the tiny
-    # per-instance loops through the grid serializes them (measured 727 ->
-    # 263 runs/s on the multistart bench). XLA's batched lowering wins.
-    use_pallas_loop = False
-
-    # unrolled tiny-k factorizations at <= 32-bit (XLA's batched
-    # cholesky/triangular-solve lowerings cost ~1 ms at (1024, 9, 9) on v5e;
-    # the unrolled ops fuse to ~us — tools/profile_linalg.py); float64 keeps
-    # jnp.linalg for bit-stability with the round-1 golden trajectories, and
-    # large n falls back too (unrolled-graph compile blowup)
-    from morbit_tpu.ops.batched_linalg import GJ_MAX_K, chol_factor, chol_solve
+    from morbit_tpu.ops.batched_linalg import GJ_MAX_K
 
     unroll_chol = f32 and n <= GJ_MAX_K
 
-    def _chol(M_):
-        return chol_factor(M_) if unroll_chol else jnp.linalg.cholesky(M_)
-
-    def _chol_solve(L_, rhs_):
-        if unroll_chol:
-            return chol_solve(L_, rhs_)
-        return jax.scipy.linalg.cho_solve((L_, True), rhs_)
-
-    def stage(carry, rho_scale_unused=None):
-        z, zz, y, rho_v = carry
-        M = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
-        # Cholesky once per stage; jittered refactorization on breakdown
-        L = _chol(M)
-        bad = ~jnp.all(jnp.isfinite(L))
-        jitter = 1e-3 * (jnp.trace(M) / n + 1.0)
-        L2 = _chol(M + jitter * jnp.eye(n, dtype=dtype))
-        L = jnp.where(bad, L2, L)
-        # pin the factorization outside the splitting loop: without the
-        # barrier XLA can sink the (loop-invariant) Cholesky into the loop
-        # body when A was constructed in-graph — measured ~600x slowdown
-        L = jax.lax.optimization_barrier(L)
-        n_steps = min(adapt_every, iters)
-
-        if use_pallas_loop:
-            # run the whole splitting loop in VMEM (Pallas): the KKT is
-            # pre-inverted so the body is matvecs + clips
-            from morbit_tpu.ops.pallas_kernels import admm_iterations
-
-            Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=dtype))
-            # infinities break in-kernel arithmetic only via clip bounds —
-            # safe; but replace them to keep Mosaic happy on some targets
-            z, zz, y = admm_iterations(
-                Minv, A, rho_v, q, l, u, z, zz, y,
-                iters=n_steps, sigma=float(sigma), alpha=float(alpha))
-        else:
-            def step(_, s):
-                z, zz, y = s
-                rhs = sigma * z - q + A.T @ (rho_v * zz - y)
-                xt = _chol_solve(L, rhs)
-                zt = A @ xt
-                z_new = alpha * xt + (1 - alpha) * z
-                zz_arg = alpha * zt + (1 - alpha) * zz + y / rho_v
-                zz_new = jnp.clip(zz_arg, l, u)
-                y_new = y + rho_v * (alpha * zt + (1 - alpha) * zz - zz_new)
-                return z_new, zz_new, y_new
-
-            # unroll to amortize while-trip overhead (the body is a handful
-            # of tiny fused ops; 8 bodies per trip measured best on v5e)
-            z, zz, y = jax.lax.fori_loop(0, n_steps, step, (z, zz, y),
-                                         unroll=8)
-
-        # residuals for rho adaptation / early exit
-        Az = A @ z
-        pr = jnp.max(jnp.abs(Az - zz)) if m else jnp.asarray(0.0, dtype)
-        dr = jnp.max(jnp.abs(P @ z + q + A.T @ y))
-        scale = jnp.sqrt(jnp.maximum(pr, 1e-30) / jnp.maximum(dr, 1e-30))
-        scale = jnp.clip(scale, 0.1, 10.0)
-        rho_new = jnp.clip(rho_v * scale, rho_clip[0], rho_clip[1])
-        return (z, zz, y, rho_new), jnp.maximum(pr, dr)
+    stage = _make_stage(P, q, A, l, u, n=n, m=m, dtype=dtype, sigma=sigma,
+                        alpha=alpha, rho_clip=rho_clip,
+                        n_steps=min(adapt_every, iters),
+                        unroll_chol=unroll_chol)
 
     z0 = jnp.zeros(n, dtype)
     zz0 = jnp.clip(jnp.zeros(m, dtype), l, u)
@@ -206,10 +212,31 @@ def solve_qp(
         carry, _, _ = jax.lax.while_loop(
             ee_cond, ee_body,
             (carry, jnp.int32(0), jnp.asarray(jnp.inf, dtype)))
+        z, zz, y, _ = carry
     else:
-        for _ in range(n_stages):
-            carry, _ = stage(carry)
-    z, zz, y, _ = carry
+        # fixed-trip stage sequence behind a raw primitive: unbatched and
+        # float64 paths inline this exact loop (bit-identical); vmapped
+        # float32 TPU fleets route to the fused lane-batched Pallas kernel
+        # (ops/qp_lane.py) — the splitting loop is the dominant device cost
+        # at reference-default budgets (qp_iters=400)
+        from morbit_tpu.ops.qp_lane import make_admm_stages
+
+        def _core(P_, q_, A_, l_, u_, rho0_):
+            st = _make_stage(P_, q_, A_, l_, u_, n=n, m=m, dtype=dtype,
+                             sigma=sigma, alpha=alpha, rho_clip=rho_clip,
+                             n_steps=min(adapt_every, iters),
+                             unroll_chol=unroll_chol)
+            c = (jnp.zeros(n, dtype), jnp.clip(jnp.zeros(m, dtype), l_, u_),
+                 jnp.zeros(m, dtype), rho0_)
+            for _ in range(n_stages):
+                c, _res = st(c)
+            return c[0], c[1], c[2]
+
+        run = make_admm_stages(
+            n, m, n_stages=n_stages, n_steps=min(adapt_every, iters),
+            sigma=float(sigma), alpha=float(alpha), rho_lo=float(rho_clip[0]),
+            rho_hi=float(rho_clip[1]), dtype=dtype, core=_core)
+        z, zz, y = run(P, q, A, l, u, rho_v0)
 
     if polish:
         z, y = _polish(P, q, A, l, u, z, y,
