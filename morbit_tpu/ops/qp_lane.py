@@ -129,6 +129,30 @@ def admm_lane_batched(P, q, A, l, u, rho0, *, nv, m, n_stages, n_steps,
         L = [[jnp.where(ok, L[i][j], L2[i][j]) if j <= i else None
               for j in range(nv)] for i in range(nv)]
 
+        # Precompute Minv = L^-T L^-1 and 1/rho once per stage: the
+        # splitting iterations then contain no divisions at all (the
+        # forward/back substitutions' serial divide chains dominate the
+        # in-kernel critical path at tiny nv).
+        Linv = [[None] * nv for _ in range(nv)]
+        for j in range(nv):
+            dinv = 1.0 / L[j][j]
+            Linv[j][j] = dinv
+            for i in range(j + 1, nv):
+                s_ = L[i][j] * Linv[j][j]
+                for t in range(j + 1, i):
+                    s_ = s_ + L[i][t] * Linv[t][j]
+                Linv[i][j] = -s_ / L[i][i]
+        Minv = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            for j in range(i + 1):
+                acc = None
+                for t in range(max(i, j), nv):
+                    term = Linv[t][i] * Linv[t][j]
+                    acc = term if acc is None else acc + term
+                Minv[i][j] = acc
+                Minv[j][i] = acc
+        rinv = [1.0 / rho[r] for r in range(m)]
+
         # ---- n_steps splitting iterations entirely in VMEM
         def step(_, s):
             z = list(s[:nv])
@@ -141,26 +165,20 @@ def admm_lane_batched(P, q, A, l, u, rho0, *, nv, m, n_stages, n_steps,
                 for r in range(m):
                     acc = acc + A[r][i] * t1[r]
                 rhs.append(acc)
-            # chol_solve (forward/back substitution, unrolled)
-            yv = [None] * nv
-            for i in range(nv):
-                s_ = rhs[i]
-                for t in range(i):
-                    s_ = s_ - L[i][t] * yv[t]
-                yv[i] = s_ / L[i][i]
+            # xt = Minv @ rhs (division-free; Minv precomputed per stage)
             xt = [None] * nv
-            for i in reversed(range(nv)):
-                s_ = yv[i]
-                for t in range(i + 1, nv):
-                    s_ = s_ - L[t][i] * xt[t]
-                xt[i] = s_ / L[i][i]
+            for i in range(nv):
+                acc = Minv[i][0] * rhs[0]
+                for j in range(1, nv):
+                    acc = acc + Minv[i][j] * rhs[j]
+                xt[i] = acc
             z_new = [alpha * xt[i] + (1 - alpha) * z[i] for i in range(nv)]
             zz_new, y_new = [], []
             for r in range(m):
                 zt = A[r][0] * xt[0]
                 for i in range(1, nv):
                     zt = zt + A[r][i] * xt[i]
-                zz_arg = alpha * zt + (1 - alpha) * zz[r] + y[r] / rho[r]
+                zz_arg = alpha * zt + (1 - alpha) * zz[r] + y[r] * rinv[r]
                 zzr = jnp.clip(zz_arg, l[r], u[r])
                 zz_new.append(zzr)
                 y_new.append(y[r] + rho[r] * (alpha * zt

@@ -32,7 +32,7 @@ from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
 BATCH = 1024
 
 
-def measure(max_iter: int, qp_iters: int, n_rep: int = 3) -> dict:
+def measure(max_iter: int, qp_iters: int, n_rep: int = 8) -> dict:
     dtype = jnp.float32
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
@@ -108,7 +108,7 @@ def main():
 
     out = {
         "platform": jax.devices()[0].platform,
-        "note": "steady-state = mean of 3 repeat calls on pre-staged device "
+        "note": "steady-state = mean of 8 repeat calls on pre-staged device "
                 "inputs after the compile call; denominators are measured "
                 "single-instance sequential single-core CPU runs of this "
                 "same solver (tools/measure_baseline.py, BASELINE.md)",
