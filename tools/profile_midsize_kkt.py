@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from morbit_tpu.ops.batched_linalg import blocked_gj_solve
 
 
-def timeit_slope(step, c0, k_lo=2, k_hi=6, reps=8):
+def timeit_slope(step, c0, k_lo=1, k_hi=3, reps=4):
     def runner(k):
         @jax.jit
         def f(c):
@@ -45,11 +45,11 @@ def timeit_slope(step, c0, k_lo=2, k_hi=6, reps=8):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     dtype = jnp.float32
-    print("platform:", jax.devices()[0].platform, " B =", B)
+    print("platform:", jax.devices()[0].platform, " B =", B, flush=True)
     key = jax.random.PRNGKey(0)
-    for k in (44, 77, 151):
+    for k in (77, 151):
         A0 = (jax.random.normal(key, (B, k, k), dtype)
               + 3.0 * k * jnp.eye(k, dtype=dtype))
         b0 = jax.random.normal(key, (B, k), dtype)
@@ -73,7 +73,7 @@ def main():
             print(f"k={k:4d}: jnp.linalg.solve {t_lu*1e3:8.3f} ms   "
                   f"blocked_gj {t_bgj*1e3:8.3f} ms   "
                   f"ratio {t_lu/t_bgj:6.1f}x   bgj residual {r:.2e}   "
-                  f"maxdiff {jnp.max(jnp.abs(x_lu-x_bg)):.2e}")
+                  f"maxdiff {jnp.max(jnp.abs(x_lu-x_bg)):.2e}", flush=True)
 
 
 if __name__ == "__main__":

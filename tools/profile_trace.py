@@ -6,7 +6,9 @@ and aggregates per-op device durations. NOTE: events nest (while-loop ops
 include their children) and async copies may overlap compute — read the
 leaf fusions/copies, not the loop totals.
 
-Run:  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/profile_trace.py
+Run:  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/profile_trace.py \
+          [max_iter] [qp_iters]
+(defaults 10 100 — pass 100 400 for the reference-default budget)
 """
 
 import glob
@@ -25,12 +27,12 @@ from morbit_tpu.parallel.multistart import build_solver
 from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
 
 
-def capture(trace_dir="/tmp/jaxtrace"):
+def capture(trace_dir="/tmp/jaxtrace", max_iter=10, qp_iters=100):
     B = 1024
     dtype = jnp.float32
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
-    ac = AlgorithmConfig(max_iter=10, qp_iters=100)
+    ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
     solver = build_solver(mop, ac, dtype)
     x0 = jnp.asarray(halton_starts(B, mop.lb, mop.ub), dtype)
     run = jax.jit(jax.vmap(solver.solve))
@@ -69,4 +71,6 @@ def report(trace_dir, top=35):
 
 
 if __name__ == "__main__":
-    report(capture())
+    mi = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    qi = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    report(capture(max_iter=mi, qp_iters=qi))
