@@ -47,7 +47,10 @@ def __getattr__(name):  # lazy exports (importing jax machinery on demand)
     if name in ("SteepestDescentConfig", "PascolettiSerafiniConfig"):
         from morbit_tpu.core import descent
         return getattr(descent, name)
-    if name in ("multistart_optimize", "default_mesh", "build_solver"):
+    if name in ("multistart_optimize", "default_mesh", "build_solver",
+                "staged_multistart", "StagedMultistart",
+                "compacted_multistart", "CompactedMultistart",
+                "parametric_multistart"):
         from morbit_tpu.parallel import multistart
         return getattr(multistart, name)
     raise AttributeError(f"module 'morbit_tpu' has no attribute {name!r}")

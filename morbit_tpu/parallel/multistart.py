@@ -66,6 +66,159 @@ def default_mesh(axis: str = "batch") -> Mesh:
     return Mesh(devs, (axis,))
 
 
+def _cap_at(solver, cum_iters: int) -> int:
+    """Database capacity bound after ``cum_iters`` outer iterations —
+    ``resolved_db_capacity`` evaluated at ``max_iter=cum_iters`` (monotone in
+    ``max_iter``), clamped to the full-run capacity. Exact: a lane that has
+    executed only ``t`` outer iterations can hold at most this many rows
+    (same safe upper bound that sizes the full run)."""
+    import dataclasses as _dc
+
+    ac = solver.ac
+    full = solver.db_capacity
+    if ac.db_capacity > 0:  # explicit user capacity: honor it verbatim
+        return full
+    cap = _dc.replace(ac, max_iter=int(cum_iters)).resolved_db_capacity(
+        solver.mop.n_vars, *solver._cap_terms)
+    return min(int(cap), int(full))
+
+
+def _resize_dbs(states, new_cap: int):
+    """Grow (zero-row pad) or trim each group database to ``new_cap`` rows
+    along the capacity axis. Exact: rows are append-only, row indices are
+    stable under end-padding, and trimming only ever removes rows above
+    every lane's fill count (callers pass the per-stage bound)."""
+    import dataclasses as _dc
+
+    def fix(g):
+        data = g.db.data
+        cap = data.shape[-2]
+        if new_cap == cap:
+            return g
+        if new_cap > cap:
+            pad = jnp.zeros(data.shape[:-2] + (new_cap - cap, data.shape[-1]),
+                            data.dtype)
+            data2 = jnp.concatenate([data, pad], axis=-2)
+        else:
+            data2 = data[..., :new_cap, :]
+        return g._replace(db=_dc.replace(g.db, data=data2))
+
+    return states._replace(groups=tuple(fix(g) for g in states.groups))
+
+
+class StagedMultistart:
+    """One-jit staged-capacity multistart (no host syncs, no compaction).
+
+    A plain ``vmap``-ed solve allocates the database at the worst-case
+    capacity ``resolved_db_capacity(max_iter)`` from iteration 0, and the
+    per-iteration device cost is dominated by capacity-proportional work
+    (O(capacity) selection scans, one-hot insert writes, while-loop boundary
+    buffer copies). But a lane that has executed only ``t`` outer iterations
+    can hold at most ``resolved_db_capacity(max_iter=t)`` rows — so the
+    early iterations (where ALL lanes are active) can run at a much smaller
+    capacity, bit-exactly (rows are append-only and indices are stable under
+    end-padding; the same invariant :class:`CompactedMultistart` stages on).
+
+    This runner unrolls a static ``schedule`` of cumulative iteration bounds
+    inside ONE jitted program: each stage is a lane-bounded
+    ``while_loop`` (``stop_code == CONTINUE and j < k``) at the capacity its
+    bound implies, databases are zero-row padded between stages, and the
+    final stage runs to completion at full capacity. Unlike
+    :class:`CompactedMultistart` there are no host round-trips, no lane
+    gather/scatter, and exactly one compile — the TPU-native answer to the
+    reference benchmark loop's dynamic scheduling
+    (``examples/large_scale_benchmarks.jl:253-275``) for the common case
+    where the budget (``max_iter``) far exceeds the typical lane's
+    iteration count.
+
+    Results equal :func:`multistart_optimize` exactly: per-lane math is
+    unchanged, only the (masked, append-only) buffer tails differ
+    (tests/test_multistart.py).
+
+    ``schedule``: increasing cumulative iteration bounds strictly below
+    ``max_iter`` (default: ``max_iter/16, /8, /4, /2`` — geometric, so the
+    capacity-cost integral tracks the lane-retirement CDF within ~2x without
+    problem knowledge). Stages whose capacity already equals the next
+    stage's are merged away.
+    """
+
+    def __init__(self, mop, algo_config: Optional[AlgorithmConfig] = None,
+                 dtype=jnp.float32, schedule: Optional[tuple] = None,
+                 mesh: Optional[Mesh] = None):
+        self.solver = build_solver(mop, algo_config, dtype)
+        self.dtype = dtype
+        max_iter = self.solver.ac.max_iter
+        if schedule is None:
+            schedule = tuple(sorted({max(1, max_iter // d)
+                                     for d in (16, 8, 4, 2)}))
+        schedule = tuple(int(t) for t in schedule if 0 < int(t) < max_iter)
+        # merge stages that would run at the same capacity (pure overhead)
+        caps = [_cap_at(self.solver, t) for t in schedule]
+        full = self.solver.db_capacity
+        keep = []
+        for i, (t, c) in enumerate(zip(schedule, caps)):
+            nxt = caps[i + 1] if i + 1 < len(caps) else full
+            if c < nxt:
+                keep.append((t, c))
+        self.schedule = tuple(keep)
+        self.mesh = mesh
+        if mesh is not None:
+            in_sharding = NamedSharding(mesh, P("batch", None))
+            self._run = jax.jit(self._run_impl, in_shardings=(in_sharding,))
+        else:
+            self._run = jax.jit(self._run_impl)
+
+    def _run_impl(self, x0_batch):
+        from morbit_tpu.core.enums import STOP_CODE
+
+        solver = self.solver
+
+        def bounded(k):
+            def one(s):
+                def cond(c):
+                    st, j = c
+                    return (st.stop_code == STOP_CODE.CONTINUE) & (j < k)
+
+                def body(c):
+                    st, j = c
+                    return solver.iterate(st), j + jnp.int32(1)
+
+                st, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+                return st
+
+            return one
+
+        states = jax.vmap(solver.initialize)(x0_batch)
+        prev = 0
+        for t, cap in self.schedule:
+            states = _resize_dbs(states, cap)
+            states = jax.vmap(bounded(t - prev))(states)
+            prev = t
+        states = _resize_dbs(states, solver.db_capacity)
+        states = jax.vmap(solver.solve_from_state)(states)
+        n_evals = jax.vmap(solver._total_evals)(states.groups)
+        return OptimizeResult(
+            x=states.x, fx=states.fx, stop_code=states.stop_code,
+            n_iterations=states.iter_counter - 1, n_evals=n_evals,
+            state=states)
+
+    def __call__(self, x0_batch) -> OptimizeResult:
+        x0_batch = jnp.asarray(x0_batch, self.dtype)
+        if self.mesh is not None:
+            x0_batch = jax.device_put(
+                x0_batch, NamedSharding(self.mesh, P("batch", None)))
+        return self._run(x0_batch)
+
+
+def staged_multistart(mop, x0_batch,
+                      algo_config: Optional[AlgorithmConfig] = None,
+                      dtype=jnp.float32, schedule: Optional[tuple] = None,
+                      mesh: Optional[Mesh] = None) -> OptimizeResult:
+    """One-shot convenience wrapper for :class:`StagedMultistart` (repeated
+    fleets should construct the runner once to reuse the compiled program)."""
+    return StagedMultistart(mop, algo_config, dtype, schedule, mesh)(x0_batch)
+
+
 class CompactedMultistart:
     """Reusable compacted-multistart runner (see :func:`compacted_multistart`).
 
@@ -114,44 +267,11 @@ class CompactedMultistart:
         self._totals = jax.jit(jax.vmap(self.solver._total_evals))
 
     def _cap_at(self, cum_iters: int) -> int:
-        """Database capacity bound after ``cum_iters`` outer iterations —
-        resolved_db_capacity evaluated at ``max_iter=cum_iters`` (monotone),
-        clamped to the full-run capacity."""
-        import dataclasses as _dc
-
-        ac = self.solver.ac
-        full = self.solver.db_capacity
         if not self.grow_db:
-            return full
-        if ac.db_capacity > 0:  # explicit user capacity: honor it verbatim
-            return full
-        cap = _dc.replace(ac, max_iter=int(cum_iters)).resolved_db_capacity(
-            self.solver.mop.n_vars, *self.solver._cap_terms)
-        return min(int(cap), int(full))
+            return self.solver.db_capacity
+        return _cap_at(self.solver, cum_iters)
 
-    @staticmethod
-    def _resize_dbs(states, new_cap: int):
-        """Grow (zero-row pad) or trim each group database to ``new_cap``
-        rows along the capacity axis. Exact: rows are append-only, row
-        indices are stable under end-padding, and trimming only ever
-        removes rows above every lane's fill count (callers pass the
-        per-stage bound)."""
-        def fix(g):
-            data = g.db.data
-            cap = data.shape[-2]
-            if new_cap == cap:
-                return g
-            if new_cap > cap:
-                pad = jnp.zeros(data.shape[:-2] + (new_cap - cap,
-                                                   data.shape[-1]),
-                                data.dtype)
-                data2 = jnp.concatenate([data, pad], axis=-2)
-            else:
-                data2 = data[..., :new_cap, :]
-            import dataclasses as _dc
-            return g._replace(db=_dc.replace(g.db, data=data2))
-
-        return states._replace(groups=tuple(fix(g) for g in states.groups))
+    _resize_dbs = staticmethod(_resize_dbs)
 
     def _stage_impl(self, states, k):
         # run at most k further outer iterations per lane (k static); the

@@ -135,6 +135,40 @@ def test_compacted_stage_schedule_matches_plain():
     np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
 
 
+def test_staged_multistart_matches_plain():
+    """Staged-capacity execution must be exact: running the early
+    iterations at the (smaller) capacity their cumulative bound implies and
+    zero-row padding between stages replays identical per-lane math — the
+    buffer tails it omits are masked, append-only rows that the full run
+    never touches either.  Full result pytree must match the plain vmapped
+    solve leaf for leaf (the state databases differ only in trailing zero
+    rows, which _resize_dbs pads back to the full capacity)."""
+    from morbit_tpu.parallel.multistart import StagedMultistart
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    x0 = halton_starts(8, mop.lb, mop.ub)
+    ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6))
+    # the schedule must actually stage (capacities strictly grow)
+    assert len(run.schedule) >= 1
+    assert run.schedule[0][1] < run.solver.db_capacity
+    res = run(x0)
+    for a, b in zip(jax.tree_util.tree_leaves(res),
+                    jax.tree_util.tree_leaves(ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        # same tolerance policy as the compaction test above
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+        else:
+            np.testing.assert_array_equal(a, b)
+    # runner reuse: second batch, same shapes -> no retrace, same answers
+    res2 = run(x0)
+    np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
+
+
 def test_compacted_multistart_f32_smoke():
     """float32 compaction smoke: ulp-level lowering differences per bucket
     shape can flip individual acceptance branches (same caveat as the

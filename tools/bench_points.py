@@ -32,21 +32,41 @@ from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
 BATCH = 1024
 
 
-def measure(max_iter: int, qp_iters: int, n_rep: int = 8) -> dict:
+def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
+            staged: bool = False) -> dict:
     dtype = jnp.float32
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
-    solver = build_solver(mop, ac, dtype)
     x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
 
-    def slim(row):
-        res = solver.solve(row)
-        traj_alive = jax.tree_util.tree_map(jnp.sum, res.state.traj)
+    def _slim_res(res, traj):
+        traj_alive = jax.tree_util.tree_map(jnp.sum, traj)
         return (res.x, res.fx, res.stop_code, res.n_iterations, res.n_evals,
                 traj_alive)
 
-    run = jax.jit(jax.vmap(slim))
+    if staged:
+        # staged-capacity runner (bit-exact vs plain — see
+        # tests/test_multistart.py::test_staged_multistart_matches_plain);
+        # slim payload: returning the full state costs ~160 ms/call on the
+        # tunnel (CLAUDE.md)
+        from morbit_tpu.parallel.multistart import StagedMultistart
+
+        runner = StagedMultistart(mop, ac, dtype)
+
+        def slim_batch(x0b):
+            res = runner._run_impl(x0b)
+            return _slim_res(res, res.state.traj)
+
+        run = jax.jit(slim_batch)
+    else:
+        solver = build_solver(mop, ac, dtype)
+
+        def slim(row):
+            res = solver.solve(row)
+            return _slim_res(res, res.state.traj)
+
+        run = jax.jit(jax.vmap(slim))
     t0 = time.perf_counter()
     out = run(x0)
     jax.block_until_ready(out[0])
@@ -72,6 +92,8 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8) -> dict:
     return {
         "config": {"max_iter": max_iter, "qp_iters": qp_iters,
                    "batch": BATCH, "dtype": "float32",
+                   "runner": ("StagedMultistart (staged-capacity, bit-exact)"
+                              if staged else "plain vmapped"),
                    "problem": "two_parabolas 2D, RbfConfig(multiquadric)"},
         "compile_plus_first_run_s": round(compile_s, 3),
         "blocked_latency_s_per_batch": round(blocked_s, 5),
@@ -98,10 +120,14 @@ def main():
         return d
 
     bench_pt = measure(max_iter=10, qp_iters=100)
+    bench_staged = measure(max_iter=10, qp_iters=100, staged=True)
     default_pt = measure(max_iter=100, qp_iters=400)
+    default_staged = measure(max_iter=100, qp_iters=400, staged=True)
     bench_pt["denominators"] = denoms("bench_config")
+    bench_staged["denominators"] = denoms("bench_config")
     default_pt["denominators"] = denoms("reference_default_config")
-    for pt in (bench_pt, default_pt):
+    default_staged["denominators"] = denoms("reference_default_config")
+    for pt in (bench_pt, bench_staged, default_pt, default_staged):
         for name, den in pt["denominators"].items():
             pt[f"vs_{name.replace('_runs_per_sec', '')}"] = round(
                 pt["steady_state_runs_per_sec"] / den, 2)
@@ -111,13 +137,18 @@ def main():
         "note": "steady-state = mean of 8 repeat calls on pre-staged device "
                 "inputs after the compile call; denominators are measured "
                 "single-instance sequential single-core CPU runs of this "
-                "same solver (tools/measure_baseline.py, BASELINE.md)",
+                "same solver (tools/measure_baseline.py, BASELINE.md); "
+                "'staged' rows run the bit-exact staged-capacity runner "
+                "(StagedMultistart)",
         "bench_config": bench_pt,
+        "bench_config_staged": bench_staged,
         "reference_default_config": default_pt,
+        "reference_default_config_staged": default_staged,
     }
     (root / "bench_points_r3.json").write_text(json.dumps(out, indent=2) + "\n")
-    print(json.dumps(out["bench_config"]))
-    print(json.dumps(out["reference_default_config"]))
+    for k in ("bench_config", "bench_config_staged",
+              "reference_default_config", "reference_default_config_staged"):
+        print(json.dumps(out[k]))
 
 
 if __name__ == "__main__":
