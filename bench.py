@@ -50,18 +50,24 @@ def main():
 
     from morbit_tpu.core.config import AlgorithmConfig
     from morbit_tpu.models.configs import RbfConfig
-    from morbit_tpu.parallel.multistart import build_solver
     from morbit_tpu.problems.synthetic import halton_starts, make_two_parabolas
 
     dtype = jnp.float32
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=MAX_ITER, qp_iters=100)
-    solver = build_solver(mop, ac, dtype)
+    from morbit_tpu.parallel.multistart import StagedMultistart
+
+    # staged-capacity runner: early iterations run at the database/
+    # trajectory capacity their cumulative iteration bound implies —
+    # bit-exact vs the plain vmapped solve
+    # (tests/test_multistart.py::test_staged_multistart_matches_plain),
+    # measured faster at both bench budgets (bench_points_r3.json)
+    runner = StagedMultistart(mop, ac, dtype)
 
     x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
 
-    def slim_solve(x0_row):
+    def slim_solve(x0_batch):
         # Return the result payload (x, fx, codes, counters) rather than the
         # full SolverState: shipping every state buffer back through the
         # device tunnel costs ~160 ms/call of pure transfer (measured,
@@ -69,12 +75,12 @@ def main():
         # trajectory stamps are kept alive against DCE via a checksum so the
         # measured work still includes them (the reference always stamps
         # iter_data, ``algorithm.jl:899-903``).
-        res = solver.solve(x0_row)
+        res = runner._run_impl(x0_batch)
         traj_alive = jax.tree_util.tree_map(jnp.sum, res.state.traj)
         return (res.x, res.fx, res.stop_code, res.n_iterations, res.n_evals,
                 traj_alive)
 
-    run = jax.jit(jax.vmap(slim_solve))
+    run = jax.jit(slim_solve)
 
     # warmup / compile
     res = run(x0)

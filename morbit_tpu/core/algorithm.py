@@ -346,8 +346,12 @@ class Solver:
 
     def _stamp(self, traj: TrajectoryState, x, fx, delta, rho, omega, steplength,
                it_stat, x_indices, groups=None) -> TrajectoryState:
-        slot = jnp.clip(traj.count, 0, self.T - 1)
-        ok = traj.count < self.T
+        # capacity from the buffer, not self.T: staged-capacity runners
+        # (parallel/multistart.py StagedMultistart) run early iterations on
+        # an end-trimmed trajectory whose row bound covers the stage
+        T = traj.data.shape[0]
+        slot = jnp.clip(traj.count, 0, T - 1)
+        ok = traj.count < T
         dt = traj.data.dtype
         sc = lambda v: jnp.asarray(v, dt).reshape((1,))
         parts = [
@@ -363,7 +367,7 @@ class Solver:
         # one-hot SELECT, not at[slot].set: a traced per-lane slot lowers
         # under vmap to a batched scatter that XLA serializes as a
         # while-loop over the batch (see dbm._onehot_write)
-        hit = (jnp.arange(self.T) == slot) & ok
+        hit = (jnp.arange(T) == slot) & ok
         data = jnp.where(hit[:, None], row[None, :], traj.data)
         return dataclasses.replace(traj, data=data, count=traj.count + 1)
 
@@ -1605,8 +1609,9 @@ class Solver:
                            next_state.x_indices, next_state.groups)
         it_col = traj.n + traj.m + 4
         # one-hot row select at the traced per-lane slot (see _stamp)
-        row_hit = jnp.arange(self.T) == jnp.clip(traj.count - 1, 0,
-                                                 self.T - 1)
+        T_loc = traj.data.shape[0]
+        row_hit = jnp.arange(T_loc) == jnp.clip(traj.count - 1, 0,
+                                                T_loc - 1)
         col_new = jnp.where(row_hit, jnp.asarray(it_stat, traj.data.dtype),
                             traj.data[:, it_col])
         traj = dataclasses.replace(

@@ -106,6 +106,42 @@ def _resize_dbs(states, new_cap: int):
     return states._replace(groups=tuple(fix(g) for g in states.groups))
 
 
+def _traj_cap_at(solver, cum_iters: int) -> int:
+    """Trajectory row bound after ``cum_iters`` outer iterations: exactly
+    one stamp per iterate plus the initialization stamp, so
+    ``resolved_trajectory_capacity`` at ``max_iter=cum_iters`` covers it.
+    An explicit user ``trajectory_capacity`` is honored verbatim."""
+    import dataclasses as _dc
+
+    ac = solver.ac
+    if ac.trajectory_capacity > 0:
+        return solver.T
+    cap = _dc.replace(ac, max_iter=int(cum_iters)) \
+             .resolved_trajectory_capacity()
+    return min(int(cap), int(solver.T))
+
+
+def _resize_traj(states, new_T: int):
+    """Grow (zero-row pad) or trim the trajectory to ``new_T`` rows.  Exact
+    for the same reason as :func:`_resize_dbs`: stamps are append-only
+    one-hot row writes at ``count``, stable under end-padding, and callers
+    pass a bound that exceeds every lane's stamp count."""
+    import dataclasses as _dc
+
+    traj = states.traj
+    data = traj.data
+    T = data.shape[-2]
+    if new_T == T:
+        return states
+    if new_T > T:
+        pad = jnp.zeros(data.shape[:-2] + (new_T - T, data.shape[-1]),
+                        data.dtype)
+        data2 = jnp.concatenate([data, pad], axis=-2)
+    else:
+        data2 = data[..., :new_T, :]
+    return states._replace(traj=_dc.replace(traj, data=data2))
+
+
 class StagedMultistart:
     """One-jit staged-capacity multistart (no host syncs, no compaction).
 
@@ -152,13 +188,14 @@ class StagedMultistart:
             schedule = tuple(sorted({max(1, max_iter // d)
                                      for d in (16, 8, 4, 2)}))
         schedule = tuple(int(t) for t in schedule if 0 < int(t) < max_iter)
-        # merge stages that would run at the same capacity (pure overhead)
-        caps = [_cap_at(self.solver, t) for t in schedule]
-        full = self.solver.db_capacity
+        # merge stages that would run at the same capacities (pure overhead)
+        caps = [(_cap_at(self.solver, t), _traj_cap_at(self.solver, t))
+                for t in schedule]
+        full = (self.solver.db_capacity, self.solver.T)
         keep = []
         for i, (t, c) in enumerate(zip(schedule, caps)):
             nxt = caps[i + 1] if i + 1 < len(caps) else full
-            if c < nxt:
+            if c[0] < nxt[0] or c[1] < nxt[1]:
                 keep.append((t, c))
         self.schedule = tuple(keep)
         self.mesh = mesh
@@ -190,11 +227,12 @@ class StagedMultistart:
 
         states = jax.vmap(solver.initialize)(x0_batch)
         prev = 0
-        for t, cap in self.schedule:
-            states = _resize_dbs(states, cap)
+        for t, (cap, tcap) in self.schedule:
+            states = _resize_traj(_resize_dbs(states, cap), tcap)
             states = jax.vmap(bounded(t - prev))(states)
             prev = t
-        states = _resize_dbs(states, solver.db_capacity)
+        states = _resize_traj(_resize_dbs(states, solver.db_capacity),
+                              solver.T)
         states = jax.vmap(solver.solve_from_state)(states)
         n_evals = jax.vmap(solver._total_evals)(states.groups)
         return OptimizeResult(

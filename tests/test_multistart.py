@@ -153,7 +153,8 @@ def test_staged_multistart_matches_plain():
     run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6))
     # the schedule must actually stage (capacities strictly grow)
     assert len(run.schedule) >= 1
-    assert run.schedule[0][1] < run.solver.db_capacity
+    assert run.schedule[0][1][0] < run.solver.db_capacity
+    assert run.schedule[0][1][1] < run.solver.T
     res = run(x0)
     for a, b in zip(jax.tree_util.tree_leaves(res),
                     jax.tree_util.tree_leaves(ref)):

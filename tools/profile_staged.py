@@ -60,7 +60,8 @@ def main():
     ]:
         runner = StagedMultistart(mk_mop(), ac, jnp.float32,
                                   schedule=schedule)
-        caps = [c for _, c in runner.schedule] + [runner.solver.db_capacity]
+        caps = ([c for _, c in runner.schedule]
+                + [(runner.solver.db_capacity, runner.solver.T)])
         comp, dt = sustained(runner, x0)
         print(f"{label:24s}: {dt*1e3:8.1f} ms/batch sustained "
               f"({B/dt:8.0f} runs/s)  compile {comp:5.1f}s  caps={caps}",
