@@ -170,6 +170,29 @@ def test_staged_multistart_matches_plain():
     np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
 
 
+def test_staged_multistart_sharded_mesh():
+    """Staged runner over a device mesh: pure data parallelism, so the
+    result must match the unsharded staged run (same tolerance policy as
+    the plain sharded-mesh test)."""
+    from morbit_tpu.parallel.multistart import StagedMultistart
+
+    mesh = default_mesh()
+    mop = make_two_parabolas(lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=6, qp_iters=100)
+    x0 = halton_starts(16, mop.lb, mop.ub)
+    res = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(2,),
+                           mesh=mesh)(x0)
+    ref = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(2,))(x0)
+    for a, b in zip(jax.tree_util.tree_leaves(res),
+                    jax.tree_util.tree_leaves(ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
 def test_compacted_multistart_f32_smoke():
     """float32 compaction smoke: ulp-level lowering differences per bucket
     shape can flip individual acceptance branches (same caveat as the
