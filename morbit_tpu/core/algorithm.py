@@ -43,6 +43,14 @@ from morbit_tpu.core.mop import MOP, CompiledMOP, compile_mop
 from morbit_tpu.models.container import SurrogateContainer
 from morbit_tpu.ops.geometry import project_into_box
 
+import os as _os
+
+#: PROFILING-ONLY ablation (tools/profile_trip_fixed.py): 1 = skip the
+#: criticality routine entirely; 2 = keep the routine but skip the
+#: unconditional post-loop refit (bit-exact only when no lane ever enters
+#: the loop). NOT reference semantics — measurement hooks only.
+_ABLATE_CRIT = int(_os.environ.get("MORBIT_ABLATE_CRIT", "0"))
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -1219,6 +1227,13 @@ class Solver:
 
     def _criticality_and_trial(self, state, inter, theta_k, theta_n,
                                theta_k_zero, omega, d):
+        if _ABLATE_CRIT == 1:
+            # PROFILING-ONLY (MORBIT_ABLATE_CRIT=1): skip the criticality
+            # routine's while_loops entirely — NOT reference semantics
+            # (``algorithm.jl:523-613`` never runs). Used to measure the
+            # structural boundary-copy cost the loops impose per trip even
+            # at zero trips (tools/profile_trip_fixed.py).
+            return self._trial_point(state, inter, theta_k, omega, d)
         ac = self.ac
         dtype = self.dtype
         mu = jnp.asarray(ac.mu, dtype)
@@ -1363,8 +1378,11 @@ class Solver:
         # re-attach the fitted parts: ``fit`` is deterministic in
         # (meta, db, ctx), so lanes that never entered the loop reproduce
         # their pre-loop models bit-identically
-        groups = self.container.refit(slim_f, inter.x_s, inter.x_indices,
-                                      delta0, scal=inter.scal)
+        if _ABLATE_CRIT == 2:
+            groups = inter.groups  # PROFILING-ONLY: skip the refit
+        else:
+            groups = self.container.refit(slim_f, inter.x_s, inter.x_indices,
+                                          delta0, scal=inter.scal)
 
         if self._crit_ff:
             # Delta-only fast-forward for stabilized lanes: replays the
