@@ -46,10 +46,21 @@ from morbit_tpu.ops.geometry import project_into_box
 import os as _os
 
 #: PROFILING-ONLY ablation (tools/profile_trip_fixed.py): 1 = skip the
-#: criticality routine entirely; 2 = keep the routine but skip the
-#: unconditional post-loop refit (bit-exact only when no lane ever enters
-#: the loop). NOT reference semantics — measurement hooks only.
+#: criticality micro-step dispatch entirely (lanes go straight to the
+#: trial point; bit-exact only for runs that never enter the routine).
+#: NOT reference semantics — measurement hook only.
 _ABLATE_CRIT = int(_os.environ.get("MORBIT_ABLATE_CRIT", "0"))
+
+#: criticality micro-step modes (packed into ``SolverState.ints``): the
+#: criticality routine (``algorithm.jl:523-613``) runs as micro-steps of
+#: the OUTER solve loop — one rebuild pass per outer trip — instead of a
+#: nested ``while_loop``. A nested loop's carry (group states incl. the
+#: databases) pays per-leaf boundary copies on EVERY outer trip even at
+#: zero trips (measured 1.59 -> 0.35 ms/trip at cap 157 without it,
+#: tools/profile_trip_fixed.py); micro-steps eliminate the nested carry
+#: entirely and share the per-trip model update + criticality computation
+#: with the normal iteration path.
+_MODE_NORMAL, _MODE_CRIT_PRE, _MODE_CRIT_LOOP = 0, 1, 2
 
 
 @jax.tree_util.register_pytree_node_class
@@ -150,9 +161,13 @@ class SolverState:
     l_i: jax.Array      # (q,)
     c_e: jax.Array      # (m_ce,)
     c_i: jax.Array      # (m_ci,)
-    delta: jax.Array    # scalar
-    ints: jax.Array     # (3 + G,) int32: [iter_counter, last_it_stat,
-                        #   stop_code, x_indices (G,)]
+    dlt: jax.Array      # (2,) [delta, delta_loc] — the trust-region radius
+                        #   and the criticality loop's shrinking local copy
+                        #   (``algorithm.jl:575-579``; meaningful only while
+                        #   crit_mode > 0), packed into ONE buffer
+    ints: jax.Array     # (5 + G,) int32: [iter_counter, last_it_stat,
+                        #   stop_code, crit_mode, crit_nloops,
+                        #   x_indices (G,)]
     groups: tuple       # tuple[GroupState]
     filter: flt.FilterState
     traj: TrajectoryState
@@ -160,9 +175,11 @@ class SolverState:
                              # var_scaler_update == 'model')
     key: jax.Array      # PRNG key (round-4 use_max_points sampling)
 
-    _FIELDS = ("x", "x_s", "fx", "l_e", "l_i", "c_e", "c_i", "delta",
+    _FIELDS = ("x", "x_s", "fx", "l_e", "l_i", "c_e", "c_i", "dlt",
                "ints", "groups", "filter", "traj", "scal", "key")
-    _INT_COLS = {"iter_counter": 0, "last_it_stat": 1, "stop_code": 2}
+    _INT_COLS = {"iter_counter": 0, "last_it_stat": 1, "stop_code": 2,
+                 "crit_mode": 3, "crit_nloops": 4}
+    _X_IDX_OFF = 5
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._FIELDS), None
@@ -170,6 +187,15 @@ class SolverState:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    # ---- named views of the packed floats
+    @property
+    def delta(self):
+        return self.dlt[..., 0]
+
+    @property
+    def delta_loc(self):
+        return self.dlt[..., 1]
 
     # ---- named views of the packed ints
     @property
@@ -185,8 +211,16 @@ class SolverState:
         return self.ints[..., 2]
 
     @property
+    def crit_mode(self):
+        return self.ints[..., 3]
+
+    @property
+    def crit_nloops(self):
+        return self.ints[..., 4]
+
+    @property
     def x_indices(self):
-        return self.ints[..., 3:]
+        return self.ints[..., self._X_IDX_OFF:]
 
     def _replace(self, **kw):
         ints = kw.pop("ints", self.ints)
@@ -195,9 +229,15 @@ class SolverState:
                 ints = ints.at[..., col].set(
                     jnp.asarray(kw.pop(name), jnp.int32))
         if "x_indices" in kw:
-            ints = ints.at[..., 3:].set(
+            ints = ints.at[..., self._X_IDX_OFF:].set(
                 jnp.asarray(kw.pop("x_indices"), jnp.int32))
-        return dataclasses.replace(self, ints=ints, **kw)
+        dlt = kw.pop("dlt", self.dlt)
+        if "delta" in kw:
+            dlt = dlt.at[..., 0].set(jnp.asarray(kw.pop("delta"), dlt.dtype))
+        if "delta_loc" in kw:
+            dlt = dlt.at[..., 1].set(
+                jnp.asarray(kw.pop("delta_loc"), dlt.dtype))
+        return dataclasses.replace(self, ints=ints, dlt=dlt, **kw)
 
 
 class OptimizeResult(NamedTuple):
@@ -600,13 +640,13 @@ class Solver:
                                        ensure_fully_linear=True, scal=scal)
 
         ints = jnp.concatenate([
-            jnp.asarray([1, ITER_TYPE.ACCEPTABLE, STOP_CODE.CONTINUE],
-                        jnp.int32),
+            jnp.asarray([1, ITER_TYPE.ACCEPTABLE, STOP_CODE.CONTINUE,
+                         _MODE_NORMAL, 0], jnp.int32),
             jnp.asarray(x_indices, jnp.int32),
         ])
         return SolverState(
             x=x, x_s=x_s, fx=fx, l_e=l_e, l_i=l_i, c_e=c_e, c_i=c_i,
-            delta=delta0,
+            dlt=jnp.stack([delta0, delta0]),
             ints=ints,
             groups=groups, filter=filt, traj=traj,
             scal=scal,
@@ -675,9 +715,16 @@ class Solver:
     # ------------------------------------------------------------ one iteration
     @_highest_matmul_precision
     def iterate(self, state: SolverState) -> SolverState:
-        """``iterate!`` (``algorithm.jl:615-917``)."""
+        """``iterate!`` (``algorithm.jl:615-917``).
+
+        One outer trip is either a NORMAL iteration or ONE criticality
+        micro-step (``crit_mode > 0`` — one rebuild pass of
+        ``criticality_routine``, ``algorithm.jl:553-596``); micro trips do
+        not advance the iteration counter or stamp the trajectory."""
         ac = self.ac
-        # pre-checks (``algorithm.jl:628-640``)
+        # pre-checks (``algorithm.jl:628-640``) apply at iteration START
+        # only — mid-criticality trips use the routine's own per-pass
+        # budget/count halts (``:563-573``)
         stop = jnp.where(
             state.iter_counter > ac.max_iter, STOP_CODE.MAX_ITER,
             jnp.where(
@@ -685,6 +732,8 @@ class Solver:
                 STOP_CODE.BUDGET_EXHAUSTED,
                 jnp.where(state.delta <= ac.delta_tol_abs, STOP_CODE.TOLERANCE,
                           STOP_CODE.CONTINUE)))
+        stop = jnp.where(state.crit_mode > _MODE_NORMAL, STOP_CODE.CONTINUE,
+                         stop)
         return jax.lax.cond(
             stop == STOP_CODE.CONTINUE,
             self._iterate_inner,
@@ -717,45 +766,74 @@ class Solver:
     def _iterate_inner(self, state: SolverState) -> SolverState:
         ac = self.ac
         dtype = self.dtype
+        in_crit = state.crit_mode > _MODE_NORMAL
+        looping = state.crit_mode == _MODE_CRIT_LOOP
 
         if self.live_log:
             jax.debug.print(
-                "| Iteration {i}: delta={d:.3e} evals={e} x={x} f={f}",
+                "| Iteration {i}: delta={d:.3e} evals={e} crit_mode={m} "
+                "x={x} f={f}",
                 i=state.iter_counter, d=state.delta,
-                e=self._total_evals(state.groups), x=state.x, f=state.fx)
+                e=self._total_evals(state.groups), m=state.crit_mode,
+                x=state.x, f=state.fx)
 
         # ---- per-iteration scaler update (``new_var_scaler`` + database
-        # retransform, ``algorithm.jl:661-679``, ``VarScaler.jl:240-260``)
+        # retransform, ``algorithm.jl:661-679``, ``VarScaler.jl:240-260``);
+        # never mid-criticality (the routine sees one fixed scaling)
         if ac.var_scaler_update == "model":
-            state = jax.lax.cond(state.iter_counter > 1, self._rescale_model,
-                                 lambda s: s, state)
+            state = jax.lax.cond(
+                (state.iter_counter > 1) & (~in_crit), self._rescale_model,
+                lambda s: s, state)
 
         # ---- use_db = false: drop all history except the current iterate
-        # (MockDB analogue, ``Databases.jl:11-32``; see AlgorithmConfig.use_db)
+        # (MockDB analogue, ``Databases.jl:11-32``; see
+        # AlgorithmConfig.use_db). Once per ITERATION: criticality rebuild
+        # micro-trips keep the working set their iteration compacted to.
         if not ac.use_db:
             groups0 = tuple(
-                st._replace(db=dbm.compact_to_row(st.db, state.x_indices[i]))
+                st._replace(db=jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(in_crit, old, new),
+                    dbm.compact_to_row(st.db, state.x_indices[i]), st.db))
                 for i, st in enumerate(state.groups))
             state = state._replace(
                 groups=groups0,
-                x_indices=jnp.where(state.x_indices >= 0, 0, -1).astype(
-                    jnp.int32))
+                x_indices=jnp.where(
+                    in_crit, state.x_indices,
+                    jnp.where(state.x_indices >= 0, 0, -1)).astype(jnp.int32))
 
         x_s = state.x_s
         fx = state.fx
         scal = state.scal
 
-        # ---- surrogate update (``algorithm.jl:682-688``); update-vs-improve
-        # selected by a traced flag inside the shared two-phase pipeline so
-        # evaluation+fit run once under vmap
+        # ---- per-pass halt check of the criticality routine
+        # (``algorithm.jl:563-573``): evaluated BEFORE the rebuild — a halted
+        # pass performs (and charges) nothing
+        crit_halt = looping & (
+            (state.crit_nloops >= ac.max_critical_loops)
+            | self.container.budget_exhausted(state.groups))
+        # criticality fixpoint certificate inputs: db fill + eval counters
+        # BEFORE this trip's pass (see the micro-step dispatch)
+        pre_stats = tuple((st.db.count, st.n_evals) for st in state.groups)
+
+        # ---- surrogate update (``algorithm.jl:682-688``); ONE shared
+        # two-phase pipeline serves the normal update-vs-improve (traced
+        # improve flag) AND the criticality rebuild (traced
+        # ensure_fully_linear flag + per-pass key, ``update_surrogates!``
+        # at ``algorithm.jl:575-579``), so criticality passes carry no
+        # nested while_loop
         it_key = jax.random.fold_in(state.key, state.iter_counter)
-        improve_flag = state.last_it_stat == ITER_TYPE.MODELIMPROVING
+        crit_key = jax.random.fold_in(state.key,
+                                      7001 + state.crit_nloops)
+        key = jnp.where(in_crit, crit_key, it_key)
+        improve_flag = (~in_crit) & (
+            state.last_it_stat == ITER_TYPE.MODELIMPROVING)
+        do_update = jnp.where(in_crit, ~crit_halt, state.iter_counter > 1)
 
         groups = jax.lax.cond(
-            state.iter_counter > 1,
+            do_update,
             lambda g: self.container.update_or_improve(
                 g, x_s, state.x_indices, state.delta, improve_flag,
-                scal=scal, key=it_key),
+                scal=scal, key=key, efl_flag=in_crit),
             lambda g: g,
             state.groups,
         )
@@ -764,11 +842,14 @@ class Solver:
         theta_k = self._theta(state)
 
         if self.has_constraints:
-            return self._constrained_phase(state, theta_k)
-        return self._main_phase(state, state, theta_k, theta_k)
+            return self._constrained_phase(state, theta_k, crit_halt,
+                                           pre_stats)
+        return self._main_phase(state, state, theta_k, theta_k, crit_halt,
+                                pre_stats)
 
     # ---------------------------------------------------------------- phase A
-    def _constrained_phase(self, state: SolverState, theta_k) -> SolverState:
+    def _constrained_phase(self, state: SolverState, theta_k, crit_halt,
+                           pre_stats) -> SolverState:
         """Normal step / restoration dispatch (``find_normal_step``,
         ``algorithm.jl:406-521``).
 
@@ -845,7 +926,8 @@ class Solver:
         inter_sel = sel(inter_b, state)
         theta_sel = jnp.where(take_n, theta_n, theta_k)
 
-        out_main = self._main_phase(state_sel, inter_sel, theta_k, theta_sel)
+        out_main = self._main_phase(state_sel, inter_sel, theta_k, theta_sel,
+                                    crit_halt, pre_stats)
 
         # --- incompatible path (restoration / INFEASIBLE, ``:440-493``)
         out_other = self._incompatible_path(state, theta_k, n_step, feasible,
@@ -1190,16 +1272,25 @@ class Solver:
 
     # ---------------------------------------------------------------- main phase
     def _main_phase(self, state: SolverState, inter: SolverState,
-                    theta_k, theta_n) -> SolverState:
+                    theta_k, theta_n, crit_halt, pre_stats) -> SolverState:
         """Criticality + trial point + acceptance. ``state`` is the current
-        iterate's bundle, ``inter`` is x+n's bundle (identical objects when no
-        normal step was taken)."""
-        ac = self.ac
-        dtype = self.dtype
+        iterate's bundle, ``inter`` is x+n's bundle (identical objects when
+        no normal step was taken — and always on criticality micro-trips:
+        entry requires theta_k ~ 0, so no normal step is ever taken
+        there)."""
+        in_crit = state.crit_mode > _MODE_NORMAL
 
         omega, d, groups_c = self._get_criticality(
             inter.groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
             inter.fx, state.delta, state.scal)
+        # a halted criticality pass performs no work (``algorithm.jl:563-573``
+        # halts BEFORE the pass): revert the (PS) subsolver charges for
+        # halted lanes. omega/d recomputed on the unchanged groups reproduce
+        # the previous pass's values exactly — the criticality computation
+        # is a deterministic pure function of its (unchanged) inputs.
+        groups_c = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(crit_halt, old, new),
+            inter.groups, groups_c)
         # PS subsolver eval charges must flow into the continuing state
         # (state_sel/inter_sel share group leaves, so this is select-safe)
         state = state._replace(groups=groups_c)
@@ -1208,8 +1299,10 @@ class Solver:
         theta_n_zero = self._violation_zero(theta_n)
         theta_k_zero = self._violation_zero(theta_k)
 
-        # early CRITICAL exit (``algorithm.jl:728-732``)
-        crit_exit = theta_n_zero & self._omega_tests(omega, state.delta)
+        # early CRITICAL exit (``algorithm.jl:728-732``) — iteration starts
+        # only; micro-trips use the routine's own tolerance exits
+        crit_exit = (~in_crit) & theta_n_zero & self._omega_tests(
+            omega, state.delta)
 
         def early_exit(args):
             state, inter, omega, d = args
@@ -1219,20 +1312,40 @@ class Solver:
 
         def continue_iter(args):
             state, inter, omega, d = args
-            return self._criticality_and_trial(state, inter, theta_k, theta_n,
-                                               theta_k_zero, omega, d)
+            return self._crit_microstep(state, inter, theta_k, theta_n,
+                                        theta_k_zero, omega, d, crit_halt,
+                                        pre_stats)
 
         return jax.lax.cond(crit_exit, early_exit, continue_iter,
                             (state, inter, omega, d))
 
-    def _criticality_and_trial(self, state, inter, theta_k, theta_n,
-                               theta_k_zero, omega, d):
+    def _crit_microstep(self, state, inter, theta_k, theta_n,
+                        theta_k_zero, omega, d, halt, pre_stats):
+        """``criticality_routine`` (``algorithm.jl:523-613``) as micro-steps
+        of the OUTER solve loop — no nested model/db-carrying while_loop.
+
+        Each criticality pass (the make-fully-linear pre-step ``:536-551``
+        and every shrink-loop pass ``:553-596``) runs as one outer trip with
+        ``crit_mode > 0``: the trip's shared model update performed the
+        ``ensure_fully_linear`` rebuild at the loop-invariant iterate radius
+        (``update_surrogates!`` reads ``iter_data`` whose Delta is only set
+        after the loop, ``:575-579``), ``_get_criticality`` recomputed
+        omega/d, and this dispatch applies the routine's control flow:
+        entry (NORMAL trips), pre-step outcome (CRIT_PRE), per-pass shrink /
+        budget halts / tolerance exits (CRIT_LOOP). Micro-trips carry only
+        [mode, n_loops] in the packed ints and the shrinking local Delta in
+        ``dlt[1]``; iter_counter and the trajectory do not advance until
+        the routine finishes (frozen lanes return with stop=CONTINUE).
+
+        Entering lanes are always feasible (``theta_k ~ 0`` is an entry
+        requirement), so ``inter == state`` on every micro-trip — no x+n
+        bundle needs carrying. Stabilized lanes (fixpoint certificate
+        below) fast-forward the remaining Delta bookkeeping in a
+        scalar-only while_loop and finish in the same trip."""
         if _ABLATE_CRIT == 1:
             # PROFILING-ONLY (MORBIT_ABLATE_CRIT=1): skip the criticality
-            # routine's while_loops entirely — NOT reference semantics
-            # (``algorithm.jl:523-613`` never runs). Used to measure the
-            # structural boundary-copy cost the loops impose per trip even
-            # at zero trips (tools/profile_trip_fixed.py).
+            # dispatch — NOT reference semantics (``algorithm.jl:523-613``
+            # never runs). Measurement hook (tools/profile_trip_fixed.py).
             return self._trial_point(state, inter, theta_k, omega, d)
         ac = self.ac
         dtype = self.dtype
@@ -1240,197 +1353,147 @@ class Solver:
         beta = jnp.asarray(max(ac.beta, ac.mu), dtype)
         gamma_c = jnp.asarray(ac.gamma_crit, dtype)
 
-        fully_lin = self.container.fully_linear(inter.groups)
-        enter_crit = theta_k_zero & (omega <= ac.eps_crit) & (
-            (~fully_lin) | (state.delta > mu * omega))
-        if self.log_level >= 4:
-            # ``Entered Criticallity Test.`` (``algorithm.jl:534``)
-            jax.debug.print(
-                "|  Criticality test: entered={e} omega={o:.3e} "
-                "fully_linear={f}", e=enter_crit, o=omega, f=fully_lin)
-
-        # ``criticality_routine`` (``algorithm.jl:523-613``) as ONE unified
-        # while_loop: the make-fully-linear pre-step (``:536-551``) is the
-        # first pass, the shrink loop (``:553-596``) the rest. A cond would
-        # lower to a select under vmap and execute the expensive rebuilds for
-        # every batch element every iteration; the while_loop runs zero
-        # passes when no element entered the routine.
+        mode = state.crit_mode
+        normal = mode == _MODE_NORMAL
+        first = mode == _MODE_CRIT_PRE
+        looping = mode == _MODE_CRIT_LOOP
+        n_loops = state.crit_nloops
         delta0 = state.delta
+        groups = inter.groups
 
-        def crit_update(groups, tag):
-            groups = self.container.update(
-                groups, inter.x_s, inter.x_indices, delta0,
-                ensure_fully_linear=True, scal=inter.scal,
-                key=jax.random.fold_in(inter.key, tag))
-            omega, d, groups = self._get_criticality(
-                groups, state.x_s, inter.x_s, inter.l_e, inter.l_i,
-                inter.fx, delta0, inter.scal)
-            return groups, omega, d
+        fully_lin = self.container.fully_linear(groups)
 
-        def _fixpoint(g_in, g_out):
-            """True iff a criticality pass left every group database
-            untouched (same fill, same eval counters over append-only rows
-            — see ``dbm.add_site``). That alone certifies that the NEXT
-            pass would be an identity: ``crit_update`` rebuilds each model
-            from scratch as a pure function of (db, x, delta0, scal) — the
-            rebuild radius is the loop-invariant iterate radius
-            (``algorithm.jl:575-579``), the PRNG key is unused when
-            ``self._crit_ff``, and no family's update-path ``prepare``
-            reads carried model state except idempotently (Taylor keeps its
-            stencil indices when the iterate hasn't moved). So db unchanged
-            across a pass ⇒ the following rebuild reproduces this pass's
-            output bit-identically, and only the Delta bookkeeping remains.
-            (The earlier certificate also required identical model leaves,
-            which forced one provably-identity confirm pass per entry —
-            ~one full rebuild of pure waste per criticality entry.)"""
-            eq = jnp.asarray(True)
-            for a, b in zip(g_in, g_out):
-                eq = eq & (a.db.count == b.db.count) & (a.n_evals == b.n_evals)
-            return eq
-
-        # flag bits packed into ONE carried int32 (each carried scalar is
-        # its own buffer at the while-loop boundary — CLAUDE.md perf notes)
-        F_EXIT, F_FIRST, F_DO, F_DONE, F_STABLE = 1, 2, 4, 8, 16
-        bit = lambda flags, b: (flags & b) > 0
-        one = jnp.asarray(1, jnp.int32)
-
-        def loop_cond(carry):
-            slim, delta, omega, d, n_loops, flags = carry
-            # ``while all(Delta > mu*omega)`` (``:560``), or the pending
-            # pre-step pass; stabilized lanes leave for the Delta-only
-            # fast-forward loop below
-            return (~bit(flags, F_DONE)) & (
-                bit(flags, F_FIRST)
-                | (bit(flags, F_DO) & (delta > mu * omega)
-                   & (~bit(flags, F_STABLE))))
-
-        def loop_body(carry):
-            slim, delta, omega, d, n_loops, flags = carry
-            first = bit(flags, F_FIRST)
-            # loop-phase budget/count checks happen before any work (``:563-573``)
-            stop_now = (~first) & (
-                (n_loops >= ac.max_critical_loops)
-                | self.container.budget_exhausted(slim))
-
-            def halt(c):
-                slim, delta, omega, d, n_loops, flags = c
-                return (slim, delta, omega, d, n_loops,
-                        flags | F_EXIT | F_DONE)
-
-            def work(c):
-                slim, delta, omega, d, n_loops, flags = c
-                first = bit(flags, F_FIRST)
-                # pre-step keeps Delta; loop passes shrink the local copy
-                # (the rebuild still sees the iterate's radius, ``:575-579``)
-                delta = jnp.where(first, delta, gamma_c * delta)
-                groups_full = self.container.unstrip_fits(slim)
-                groups_out, omega, d = crit_update(groups_full,
-                                                   7001 + n_loops)
-                slim_out = self.container.strip_fits(groups_out)
-                stable = bit(flags, F_STABLE)
-                if self._crit_ff:
-                    stable = _fixpoint(slim, slim_out)
-                fl_now = self.container.fully_linear(groups_out)
-                n_loops = n_loops + jnp.where(first, 0, 1)
-                if self.log_level >= 4:
-                    # ``(Criticality Test) Criticality loop N`` (``:561``)
-                    jax.debug.print(
-                        "|  (Criticality Test) pass {p}: delta={d:.3e} "
-                        "omega={o:.3e} fully_linear={f}",
-                        p=n_loops, d=delta, o=omega, f=fl_now)
-
-                # pre-step outcome (``:545-551``): loop only if models became
-                # fully linear and still critical; else "one last descent
-                # step" (done without exit_critical)
-                do_loops_new = jnp.where(
-                    first, fl_now & (delta0 > mu * omega), bit(flags, F_DO))
-                done_pre = first & (~(fl_now & (delta0 > mu * omega)))
-
-                # loop-phase tolerance/FL exits (``:585-595``)
-                tol_exit = (~first) & (
-                    (delta <= ac.delta_tol_abs)
-                    | self._omega_tests(omega, delta) | (~fl_now))
-
-                done_new = bit(flags, F_DONE) | done_pre | tol_exit
-                exit_new = bit(flags, F_EXIT) | tol_exit
-                flags = (jnp.where(exit_new, one * F_EXIT, 0)
-                         | jnp.where(do_loops_new, one * F_DO, 0)
-                         | jnp.where(done_new, one * F_DONE, 0)
-                         | jnp.where(stable, one * F_STABLE, 0))
-                return (slim_out, delta, omega, d, n_loops, flags)
-
-            return jax.lax.cond(stop_now, halt, work, carry)
-
-        first0 = enter_crit & (~fully_lin)
+        # ---- NORMAL trips: entry decision (``algorithm.jl:536-551``;
+        # ``Entered Criticallity Test.`` ``:534``)
+        enter_crit = (normal & theta_k_zero & (omega <= ac.eps_crit)
+                      & ((~fully_lin) | (delta0 > mu * omega)))
+        enter_pre = enter_crit & (~fully_lin)    # pre-step pass pending
         # entry with fully linear models implies Delta > mu*omega (``:738``)
-        do_loops0 = enter_crit & fully_lin
-        flags0 = (jnp.where(first0, one * F_FIRST, 0)
-                  | jnp.where(do_loops0, one * F_DO, 0)
-                  | jnp.where(~enter_crit, one * F_DONE, 0))
-        init = (self.container.strip_fits(inter.groups), delta0, omega, d,
-                jnp.asarray(0, jnp.int32), flags0)
-        (slim_f, delta_loc, omega, d, n_loops_r, flags_f) = jax.lax.while_loop(
-            loop_cond, loop_body, init)
-        exit_c = bit(flags_f, F_EXIT)
-        do_loops = bit(flags_f, F_DO)
-        done_r = bit(flags_f, F_DONE)
-        stable_r = bit(flags_f, F_STABLE)
-        # re-attach the fitted parts: ``fit`` is deterministic in
-        # (meta, db, ctx), so lanes that never entered the loop reproduce
-        # their pre-loop models bit-identically
-        if _ABLATE_CRIT == 2:
-            groups = inter.groups  # PROFILING-ONLY: skip the refit
-        else:
-            groups = self.container.refit(slim_f, inter.x_s, inter.x_indices,
-                                          delta0, scal=inter.scal)
+        enter_loop = enter_crit & fully_lin      # straight to the shrink loop
+        if self.log_level >= 4:
+            jax.debug.print(
+                "|  Criticality test: mode={m} entered={e} omega={o:.3e} "
+                "fully_linear={f}", m=mode, e=enter_crit, o=omega,
+                f=fully_lin)
 
+        # ---- CRIT_PRE trips: pre-step outcome (``:545-551``; the rebuild
+        # already ran this trip). Loop only if the models became fully
+        # linear and still critical; else "one last descent step".
+        do_loops_pre = first & fully_lin & (delta0 > mu * omega)
+        done_pre = first & (~(fully_lin & (delta0 > mu * omega)))
+
+        # ---- CRIT_LOOP trips: one shrink pass ran this trip. The shrink
+        # applies to the carried local copy only (the rebuild saw delta0).
+        passed = looping & (~halt)
+        delta_eff = jnp.where(passed, gamma_c * state.delta_loc,
+                              state.delta_loc)
+        n_loops_eff = jnp.where(passed, n_loops + 1, n_loops)
+        # loop-phase tolerance/FL exits (``:585-595``)
+        tol_exit = passed & (
+            (delta_eff <= ac.delta_tol_abs)
+            | self._omega_tests(omega, delta_eff) | (~fully_lin))
+        if self.log_level >= 4:
+            # ``(Criticality Test) Criticality loop N`` (``:561``)
+            jax.debug.print(
+                "|  (Criticality Test) pass {p}: active={a} "
+                "delta_loc={dl:.3e} omega={o:.3e} fully_linear={f}",
+                p=n_loops_eff, a=passed | first, dl=delta_eff, o=omega,
+                f=fully_lin)
+
+        # ---- fixpoint certificate: a pass that left every group database
+        # untouched (same fill, same eval counters over append-only rows —
+        # see ``dbm.add_site``) proves the NEXT pass is an identity: the
+        # rebuild is a pure function of (db, x, delta0, scal) — the rebuild
+        # radius is the loop-invariant iterate radius, the PRNG key is
+        # unused when ``self._crit_ff``, and no family's update-path
+        # ``prepare`` reads carried model state except idempotently (Taylor
+        # keeps its stencil indices when the iterate hasn't moved). The
+        # remaining passes are pure Delta bookkeeping, replayed by the
+        # scalar-only fast-forward below. PS descent charges budget per
+        # pass, so its counters never certify — correct, its passes are
+        # never free.
+        stable = jnp.asarray(False)
         if self._crit_ff:
-            # Delta-only fast-forward for stabilized lanes: replays the
-            # remaining loop passes WITHOUT the (provably identical) rebuild
-            # — same ordering as loop_body: budget/count halt first, then
-            # shrink, then the tolerance/FL exits with the fixed omega.
-            fl_s = self.container.fully_linear(groups)
-            budget_x = self.container.budget_exhausted(groups)
-            ff_act = stable_r & do_loops & (~done_r)
+            stable = passed | do_loops_pre
+            for (cnt0, nev0), st in zip(pre_stats, groups):
+                stable = stable & (cnt0 == st.db.count) & (nev0 == st.n_evals)
 
-            def ff_cond(c):
-                delta, n_loops, exit_c, done = c
-                return (~done) & (delta > mu * omega)
+        # ``while all(Delta > mu*omega)`` (``:560``) for the NEXT pass
+        would_cont = delta_eff > mu * omega
+        cont_pre = do_loops_pre & (~stable)
+        cont_loop = passed & (~tol_exit) & would_cont & (~stable)
+        freeze = enter_pre | enter_loop | cont_pre | cont_loop
 
-            def ff_body(c):
-                delta, n_loops, exit_c, done = c
-                stop_now = (n_loops >= ac.max_critical_loops) | budget_x
-                delta_n = jnp.where(stop_now, delta, gamma_c * delta)
-                n_loops_n = jnp.where(stop_now, n_loops, n_loops + 1)
-                tol_exit = (~stop_now) & (
-                    (delta_n <= ac.delta_tol_abs)
-                    | self._omega_tests(omega, delta_n) | (~fl_s))
-                return (delta_n, n_loops_n, exit_c | stop_now | tol_exit,
-                        done | stop_now | tol_exit)
+        # ---- Delta-only fast-forward for stabilized lanes (small scalar
+        # carry — the one while_loop this routine keeps): same ordering as
+        # a real pass — budget/count halt first, then shrink, then the
+        # tolerance/FL exits with the fixed omega.
+        ff_act = stable & (~tol_exit) & (do_loops_pre | passed)
+        budget_x = self.container.budget_exhausted(groups)
 
-            delta_loc, _, exit_c, _ = jax.lax.while_loop(
-                ff_cond, ff_body,
-                (delta_loc, n_loops_r, exit_c, ~ff_act))
+        def ff_cond(c):
+            delta_l, nl, exit_c, done = c
+            return (~done) & (delta_l > mu * omega)
 
-        # Delta update only applies when loops were entered (``:605``)
-        delta = jnp.where(
-            enter_crit & do_loops,
-            jnp.minimum(delta0, jnp.maximum(beta * omega, delta_loc)),
-            state.delta)
-        exit_critical = enter_crit & exit_c & do_loops
+        def ff_body(c):
+            delta_l, nl, exit_c, done = c
+            stop_now = (nl >= ac.max_critical_loops) | budget_x
+            delta_n = jnp.where(stop_now, delta_l, gamma_c * delta_l)
+            nl_n = jnp.where(stop_now, nl, nl + 1)
+            t_exit = (~stop_now) & (
+                (delta_n <= ac.delta_tol_abs)
+                | self._omega_tests(omega, delta_n) | (~fully_lin))
+            return (delta_n, nl_n, exit_c | stop_now | t_exit,
+                    done | stop_now | t_exit)
 
-        state = state._replace(groups=groups, delta=delta)
-        inter = inter._replace(groups=groups, delta=delta)
+        delta_fin, _, exit_ff, _ = jax.lax.while_loop(
+            ff_cond, ff_body,
+            (delta_eff, n_loops_eff, jnp.asarray(False), ~ff_act))
 
-        def crit_exit_branch(args):
+        # ---- finishing lanes: Delta update only applies when shrink loops
+        # were entered (``:605``)
+        did_loops = looping | do_loops_pre
+        exit_c = halt | tol_exit | exit_ff
+        delta_new = jnp.where(
+            did_loops,
+            jnp.minimum(delta0, jnp.maximum(beta * omega, delta_fin)),
+            delta0)
+        exit_critical = did_loops & exit_c
+
+        new_mode = jnp.where(
+            enter_pre, _MODE_CRIT_PRE,
+            jnp.where(enter_loop | cont_pre | cont_loop, _MODE_CRIT_LOOP,
+                      _MODE_NORMAL)).astype(jnp.int32)
+        new_nloops = jnp.where(enter_crit, 0, n_loops_eff)
+        new_delta_loc = jnp.where(enter_crit, delta0, delta_eff)
+
+        def frozen_branch(args):
             state, inter, omega, d = args
-            return self._finish_early(inter, STOP_CODE.CRITICAL)
+            # micro-step continues next trip: no stamp, no iteration
+            # advance, stop stays CONTINUE; only the crit bookkeeping moves
+            return inter._replace(
+                crit_mode=new_mode, crit_nloops=new_nloops,
+                delta_loc=new_delta_loc)
 
-        def trial_branch(args):
+        def finish_branch(args):
             state, inter, omega, d = args
-            return self._trial_point(state, inter, theta_k, omega, d)
+            state_f = state._replace(delta=delta_new, crit_mode=0,
+                                     crit_nloops=0)
+            inter_f = inter._replace(delta=delta_new, crit_mode=0,
+                                     crit_nloops=0)
 
-        return jax.lax.cond(exit_critical, crit_exit_branch, trial_branch,
+            def crit_exit_branch(a):
+                s, i, om, dd = a
+                return self._finish_early(i, STOP_CODE.CRITICAL)
+
+            def trial_branch(a):
+                s, i, om, dd = a
+                return self._trial_point(s, i, theta_k, om, dd)
+
+            return jax.lax.cond(exit_critical, crit_exit_branch,
+                                trial_branch, (state_f, inter_f, omega, d))
+
+        return jax.lax.cond(freeze, frozen_branch, finish_branch,
                             (state, inter, omega, d))
 
     # ------------------------------------------------------------- trial point

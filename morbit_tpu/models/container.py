@@ -169,14 +169,23 @@ class SurrogateContainer:
         return self._two_phase(states, ctxs, False, improve=True)
 
     def update_or_improve(self, states, x_s, x_indices, delta, improve_flag,
-                          scal=None, key=None):
+                          scal=None, key=None, efl_flag=None):
         """Update or improve selected by a *traced* flag (``algorithm.jl:682-688``).
 
         Under vmap a cond between the two would execute both full two-phase
         pipelines (incl. eval_missing and the fits) for every batch element;
         here only the cheap phase-1 runs twice and is selected per leaf,
-        then evaluation + fitting run once."""
+        then evaluation + fitting run once.
+
+        ``efl_flag`` (optional, traced bool): ensure-fully-linear rebuild
+        flag threaded into the update-path ``prepare`` — the criticality
+        micro-step restructure shares THIS call between normal surrogate
+        updates and criticality rebuild passes (``algorithm.jl:575-579``
+        ``update_surrogates!(... ensure_fully_linear=true)``), so no
+        nested big-carry while_loop exists. ``improve_flag`` wins when both
+        are set (callers pass mutually exclusive flags)."""
         ctxs = self._contexts(states, x_s, x_indices, delta, scal, key)
+        efl = False if efl_flag is None else efl_flag
         mid = []
         for gi, (ops, st, ctx) in enumerate(zip(self.ops, states, ctxs)):
             model_i, db_i = ops.prepare_improve(st.model, st.db, ctx)
@@ -186,7 +195,7 @@ class SurrogateContainer:
                 model_u, db_u = ops.prepare_with_reuse(
                     st.model, st.db, ctx, src.model, src.db)
             else:
-                model_u, db_u = ops.prepare(st.model, st.db, ctx, False)
+                model_u, db_u = ops.prepare(st.model, st.db, ctx, efl)
             model, db = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(improve_flag, a, b),
                 (model_i, db_i), (model_u, db_u))

@@ -297,12 +297,13 @@ class LagrangeOps(SurrogateOps):
         fully_linear = jnp.asarray(False)
 
         # ---- Algorithm 6.3 (``make_set_lambda_poised``)
-        if ensure_fully_linear or not cfg.allow_not_linear:
+        efl_static = isinstance(ensure_fully_linear, (bool, int))
+        run_63 = (not cfg.allow_not_linear) or (
+            ensure_fully_linear if efl_static else True)
+        if run_63:
             LAMBDA = jnp.asarray(cfg.lambda_poise, dt)
 
-            def lam_body(k, carry):
-                B, points, src, done = carry
-
+            def lam_step(B, points, src, done):
                 def one_poly(i):
                     x_i, v_i = self._maximize_abs(B[i], extra_starts=points[i][None, :])
                     return x_i, v_i
@@ -328,10 +329,35 @@ class LagrangeOps(SurrogateOps):
                 done = done | (~any_exc)
                 return B, points, src, done
 
-            B, points, src, _ = jax.lax.fori_loop(
-                0, self.lambda_max_loops, lam_body,
-                (B, points, src, jnp.asarray(False)))
-            fully_linear = jnp.asarray(True)
+            if efl_static or not cfg.allow_not_linear:
+                def lam_body(k, carry):
+                    return lam_step(*carry)
+
+                B, points, src, _ = jax.lax.fori_loop(
+                    0, self.lambda_max_loops, lam_body,
+                    (B, points, src, jnp.asarray(False)))
+                fully_linear = jnp.asarray(True)
+            else:
+                # traced flag (criticality micro-step rebuilds): run the
+                # Lambda-poise loop as an active-gated while_loop — lanes
+                # with efl=False start done and the unbatched case pays
+                # zero trips; masked no-op bodies make the result equal the
+                # static variant's values exactly
+                efl = jnp.asarray(ensure_fully_linear)
+
+                def lam_cond(c):
+                    B, points, src, done, k = c
+                    return (~done) & (k < self.lambda_max_loops)
+
+                def lam_while_body(c):
+                    B, points, src, done, k = c
+                    B, points, src, done = lam_step(B, points, src, done)
+                    return B, points, src, done, k + 1
+
+                B, points, src, _, _ = jax.lax.while_loop(
+                    lam_cond, lam_while_body,
+                    (B, points, src, ~efl, jnp.asarray(0, jnp.int32)))
+                fully_linear = efl
 
         # ---- consume points: add new sites to the db (``_consume_points``)
         idx = jnp.zeros((p,), jnp.int32)

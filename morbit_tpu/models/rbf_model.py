@@ -134,7 +134,16 @@ def rbf_selection_core(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *,
     THIS function, so there is no duplicate logic to drift.
 
     Returns (r1_idx, r1_cnt, r2_idx, r2_cnt, sites3, active3, n_new, dirs,
-    dirs_count, fully_linear)."""
+    dirs_count, fully_linear).
+
+    ``ensure_fully_linear`` may be a static bool (two compiled variants,
+    round 2 / the coordinate rebuild skipped structurally) or a TRACED
+    bool scalar: the unified variant computes round 2 and both round-3
+    proposals and masks per the flag — output values are bit-identical to
+    the matching static variant (every select picks the exact value the
+    static structure would have computed), which lets the solver pass the
+    criticality-rebuild flag per lane per trip (the criticality
+    micro-step restructure, ``algorithm.jl:523-613``)."""
     dt = X.dtype
     cap = X.shape[0]
     delta_1 = jnp.asarray(theta_e1, dt) * delta
@@ -153,8 +162,10 @@ def rbf_selection_core(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *,
     r1_idx, r1_cnt = sel1.order, sel1.n_picked
     n_missing1 = n - r1_cnt
 
-    # ---- round 2 (skipped statically under ensure_fully_linear, ``:588``)
-    if ensure_fully_linear:
+    efl_static = isinstance(ensure_fully_linear, (bool, int))
+    # ---- round 2 (skipped statically under ensure_fully_linear, ``:588``;
+    # computed-and-masked when the flag is traced)
+    if efl_static and ensure_fully_linear:
         r2_cnt = jnp.asarray(0, jnp.int32)
         r2_idx = -jnp.ones((n,), jnp.int32)
         fl_after2 = jnp.asarray(True)
@@ -172,6 +183,11 @@ def rbf_selection_core(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *,
         r2_cnt = jnp.where(skip2, 0, sel2.n_picked)
         r2_idx = sel2.order
         fl_after2 = skip2
+        if not efl_static:
+            efl = ensure_fully_linear
+            r2_cnt = jnp.where(efl, 0, r2_cnt)
+            r2_idx = jnp.where(efl, -jnp.ones((n,), jnp.int32), r2_idx)
+            fl_after2 = efl | fl_after2
     n_missing2 = n_missing1 - r2_cnt
 
     def round3_proposal(dirs_, dirs_count_, n_missing_, max_new_):
@@ -195,7 +211,7 @@ def rbf_selection_core(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *,
     (s3, act3, ok3, fail3, covers3, n_new3) = round3_proposal(
         dirs, dirs_count, n_missing2, max_new)
 
-    if ensure_fully_linear:
+    if (not efl_static) or ensure_fully_linear:
         # coordinate-axis rebuild proposal (``:564-570`` + recursion ``:633``)
         from morbit_tpu.ops.affine import _eye
         dirs_cb = _eye(n, dt)
@@ -203,7 +219,7 @@ def rbf_selection_core(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *,
             dirs_cb, jnp.asarray(n, jnp.int32), jnp.asarray(n, jnp.int32),
             max_new)
 
-        rebuild = fail3
+        rebuild = (fail3 if efl_static else (ensure_fully_linear & fail3))
         pick = lambda a, b: jnp.where(rebuild, a, b)
         # boolean selects via algebra, not where-on-bools (Mosaic cannot
         # select i1 vectors in the fused Pallas prepare kernel)
@@ -258,7 +274,10 @@ class RbfOps(SurrogateOps):
         if cfg.optimized_sampling:
             from morbit_tpu.ops.prepare_fused import make_batched_selection
 
-            for efl in (False, True):
+            # static False/True variants (initialize, golden paths) plus the
+            # traced-flag variant for the solver's per-trip merged update
+            # (criticality micro-steps pass the rebuild flag per lane)
+            for efl in (False, True, "traced"):
                 self._selection[efl] = make_batched_selection(
                     n_vars, dtype, ac, cfg, efl)
 
@@ -400,10 +419,16 @@ class RbfOps(SurrogateOps):
         if cfg.optimized_sampling:
             # rounds 1-3 selection — one fused call (Pallas-tiled when the
             # solve is vmapped on the f32 TPU path; plain XLA otherwise)
+            if isinstance(ensure_fully_linear, (bool, int)):
+                sel_fn = self._selection[bool(ensure_fully_linear)]
+                sel_args = ()
+            else:  # traced per-trip flag (criticality micro-step rebuild)
+                sel_fn = self._selection["traced"]
+                sel_args = (ensure_fully_linear,)
             (r1_idx, r1_cnt, r2_idx, r2_cnt, sites3, active3, n_new, dirs,
-             dirs_count, fully_linear) = self._selection[bool(ensure_fully_linear)](
+             dirs_count, fully_linear) = sel_fn(
                 db.X, db.count, x, ctx.x_index, delta,
-                ctx.scal.lb_scaled, ctx.scal.ub_scaled, max_new)
+                ctx.scal.lb_scaled, ctx.scal.ub_scaled, max_new, *sel_args)
         else:
             # non-optimized sampling: always rebuild along coordinate axes
             # (``RbfModel.jl:564-570``; round 2 skipped, round 4 skipped)

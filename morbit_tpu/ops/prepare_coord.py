@@ -210,7 +210,12 @@ def selection_coord_batched(X_t, count, x_s, x_index, delta, lb_s, ub_s,
     Mirrors :func:`morbit_tpu.models.rbf_model.rbf_selection_core` lane for
     lane. Inputs: ``X_t`` (T, n, cap) transposed sites; the rest (T,) /
     (T, n). Returns the core's 10 outputs batched (ints as int32, bools as
-    (T,)-bool)."""
+    (T,)-bool).
+
+    ``ensure_fully_linear`` may be static (bool) or a traced per-lane (T,)
+    bool vector (the criticality micro-step rebuild flag): the traced
+    variant computes round 2 and both round-3 proposals and masks per
+    lane, matching the corresponding static variant's values exactly."""
     T = count.shape[0]
     Xc = [X_t[:, i, :] for i in range(n)]
     x_sc = [x_s[:, i] for i in range(n)]
@@ -241,8 +246,9 @@ def selection_coord_batched(X_t, count, x_s, x_index, delta, lb_s, ub_s,
     dirs_count = (n - k1).astype(jnp.int32)
     n_missing1 = n - r1_cnt
 
+    efl_static = isinstance(ensure_fully_linear, (bool, int))
     # ---- round 2
-    if ensure_fully_linear:
+    if efl_static and ensure_fully_linear:
         r2_order = [jnp.full((T,), -1, jnp.int32) for _ in range(n)]
         r2_cnt = jnp.zeros((T,), jnp.int32)
         fl_after2 = jnp.ones((T,), bool)
@@ -261,6 +267,11 @@ def selection_coord_batched(X_t, count, x_s, x_index, delta, lb_s, ub_s,
             skip2 = skip2 | jnp.isclose(delta, jnp.asarray(delta_max, dtype))
         r2_cnt = jnp.where(skip2, 0, r2_picked)
         fl_after2 = skip2
+        if not efl_static:
+            efl = ensure_fully_linear  # (T,) bool
+            r2_cnt = jnp.where(efl, 0, r2_cnt)
+            r2_order = [jnp.where(efl, -1, r2_order[s]) for s in range(n)]
+            fl_after2 = efl | fl_after2
     n_missing2 = n_missing1 - r2_cnt
 
     def round3(D, n_missing_, max_new_):
@@ -287,12 +298,12 @@ def selection_coord_batched(X_t, count, x_s, x_index, delta, lb_s, ub_s,
 
     s3, act3, ok3, fail3, covers3, n_new3 = round3(dirs, n_missing2, max_new)
 
-    if ensure_fully_linear:
+    if (not efl_static) or ensure_fully_linear:
         eyeD = [[jnp.full((T,), 1.0 if r == i else 0.0, dtype)
                  for i in range(n)] for r in range(n)]
         s3c, act3c, ok3c, _, covers3c, n_new3c = round3(
             eyeD, jnp.full((T,), n, jnp.int32), max_new)
-        rebuild = fail3
+        rebuild = (fail3 if efl_static else (ensure_fully_linear & fail3))
         r1_cnt = jnp.where(rebuild, 0, r1_cnt)
         r2_cnt = jnp.where(rebuild, 0, r2_cnt)
         sites3 = [[jnp.where(rebuild, s3c[r][i], s3[r][i])

@@ -71,7 +71,10 @@ def _pallas_ok(dtype) -> bool:
 
 
 def _pallas_selection(statics, B, cap, n, X, count, x_s, x_index, delta,
-                      lb_s, ub_s, max_new):
+                      lb_s, ub_s, max_new, efl=None):
+    """``efl``: optional (B,) bool — the traced per-lane
+    ensure_fully_linear flag (criticality micro-step rebuilds); when given,
+    ``statics['ensure_fully_linear']`` must be the string 'traced'."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -96,9 +99,12 @@ def _pallas_selection(statics, B, cap, n, X, count, x_s, x_index, delta,
     col = lambda a, dt: jnp.asarray(a, dt).reshape((-1, 1))
     # coordinate-major site block: lanes = database rows (cap), not n
     X_t = jnp.swapaxes(X, 1, 2)  # (B, n, cap)
+    traced_efl = efl is not None
     ins = (p(X_t), p(col(count, jnp.int32)), p(x_s),
            p(col(x_index, jnp.int32)), p(col(delta, dtype)), p(lb_s),
            p(ub_s), p(col(max_new, jnp.int32)))
+    if traced_efl:
+        ins = ins + (p(col(efl.astype(jnp.int32), jnp.int32)),)
 
     grid = (padded // tile,)
     row_spec = lambda w: pl.BlockSpec(
@@ -108,6 +114,8 @@ def _pallas_selection(statics, B, cap, n, X, count, x_s, x_index, delta,
 
     in_specs = [cube_spec(n, cap), row_spec(1), row_spec(n), row_spec(1),
                 row_spec(1), row_spec(n), row_spec(n), row_spec(1)]
+    if traced_efl:
+        in_specs.append(row_spec(1))
     out_shapes = (
         jax.ShapeDtypeStruct((padded, n), jnp.int32),      # r1_idx
         jax.ShapeDtypeStruct((padded, 1), jnp.int32),      # r1_cnt
@@ -125,13 +133,21 @@ def _pallas_selection(statics, B, cap, n, X, count, x_s, x_index, delta,
                  cube_spec(n, n), row_spec(1), row_spec(1))
 
     def kernel(X_ref, cnt_ref, xs_ref, xi_ref, d_ref, lb_ref, ub_ref,
-               mn_ref, o_r1i, o_r1c, o_r2i, o_r2c, o_s3, o_a3, o_nn,
-               o_dirs, o_dc, o_fl):
+               mn_ref, *rest):
+        if traced_efl:
+            efl_ref = rest[0]
+            rest = rest[1:]
+            kw = dict(statics)
+            kw["ensure_fully_linear"] = efl_ref[:, 0] > 0
+        else:
+            kw = statics
+        (o_r1i, o_r1c, o_r2i, o_r2c, o_s3, o_a3, o_nn,
+         o_dirs, o_dc, o_fl) = rest
         (r1o, r1c, r2o, r2c, s3, a3, nn, dirs, dc, fl) = \
             selection_coord_batched(
                 X_ref[:], cnt_ref[:, 0], xs_ref[:], xi_ref[:, 0],
                 d_ref[:, 0], lb_ref[:], ub_ref[:], mn_ref[:, 0],
-                n=n, cap=cap, dtype=dtype, **statics)
+                n=n, cap=cap, dtype=dtype, **kw)
         for s in range(n):
             o_r1i[:, s] = r1o[s]
             o_r2i[:, s] = r2o[s]
@@ -346,6 +362,11 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
     golden path stays byte-for-byte on the pre-existing XLA lowering);
     vmapped calls on the float32 TPU path run the fused Pallas kernel.
 
+    ``ensure_fully_linear``: ``False``/``True`` bake the flag statically;
+    the string ``'traced'`` builds the variant that takes the flag as an
+    extra traced bool argument (per lane under vmap) — the criticality
+    micro-step restructure passes the rebuild flag per trip.
+
     Implemented as a RAW primitive with an explicit batching rule (not
     ``jax.custom_batching.custom_vmap``): the solver invokes this inside
     ``lax.while_loop``/``lax.cond`` bodies, whose batching turns traced-out
@@ -355,31 +376,32 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
     from morbit_tpu.models.rbf_model import rbf_selection_core
 
     n = n_vars
-    core = partial(
-        rbf_selection_core,
+    traced = ensure_fully_linear == "traced"
+    base_kw = dict(
         n=n,
         theta_e1=cfg.theta_enlarge_1,
         theta_e2_dmax=cfg.theta_enlarge_2 * ac.delta_max,
         theta_pivot=cfg.theta_pivot,
         delta_max=ac.delta_max,
         skip2_same_theta=(cfg.theta_enlarge_1 == cfg.theta_enlarge_2),
-        ensure_fully_linear=ensure_fully_linear,
     )
+    if traced:
+        def core(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, efl):
+            return rbf_selection_core(
+                X, count, x_s, x_index, delta, lb_s, ub_s, max_new,
+                ensure_fully_linear=efl, **base_kw)
+    else:
+        core = partial(rbf_selection_core,
+                       ensure_fully_linear=ensure_fully_linear, **base_kw)
 
-    statics = dict(
-        theta_e1=cfg.theta_enlarge_1,
-        theta_e2_dmax=cfg.theta_enlarge_2 * ac.delta_max,
-        theta_pivot=cfg.theta_pivot,
-        delta_max=ac.delta_max,
-        skip2_same_theta=(cfg.theta_enlarge_1 == cfg.theta_enlarge_2),
-        ensure_fully_linear=ensure_fully_linear,
-    )
+    statics = dict(base_kw, ensure_fully_linear=ensure_fully_linear)
+    del statics["n"]
 
     import jax.extend.core as jex_core
     from jax.core import ShapedArray
 
-    prim = jex_core.Primitive(
-        f"rbf_selection_n{n}_efl{int(bool(ensure_fully_linear))}")
+    tag = "traced" if traced else str(int(bool(ensure_fully_linear)))
+    prim = jex_core.Primitive(f"rbf_selection_n{n}_efl{tag}")
     prim.multiple_results = True
 
     def _core_tuple(*args):
@@ -388,7 +410,7 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
     prim.def_impl(_core_tuple)
 
     @prim.def_abstract_eval
-    def _abs(X, count, x_s, x_index, delta, lb_s, ub_s, max_new):
+    def _abs(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *maybe_efl):
         dt = X.dtype
         i32 = jnp.int32
         return [
@@ -420,16 +442,23 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
         # lowering (n=15 compiled in ~17 min there, round-2 grid).
         if (_pallas_ok(dtype) and n <= _SELECTION_MAX_N
                 and cap <= _SELECTION_MAX_CAP):
-            outs = _pallas_selection(statics, size, cap, n, *args0)
+            if traced:
+                outs = _pallas_selection(statics, size, cap, n, *args0[:8],
+                                         efl=args0[8])
+            else:
+                outs = _pallas_selection(statics, size, cap, n, *args0)
         else:
             outs = jax.vmap(core)(*args0)
         return list(outs), [0] * 10
 
     batching.primitive_batchers[prim] = _batch
 
-    def sel(X, count, x_s, x_index, delta, lb_s, ub_s, max_new):
-        return tuple(prim.bind(X, jnp.asarray(count, jnp.int32), x_s,
-                               jnp.asarray(x_index, jnp.int32), delta,
-                               lb_s, ub_s, jnp.asarray(max_new, jnp.int32)))
+    def sel(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, efl=None):
+        args = (X, jnp.asarray(count, jnp.int32), x_s,
+                jnp.asarray(x_index, jnp.int32), delta,
+                lb_s, ub_s, jnp.asarray(max_new, jnp.int32))
+        if traced:
+            args = args + (jnp.asarray(efl, bool),)
+        return tuple(prim.bind(*args))
 
     return sel
