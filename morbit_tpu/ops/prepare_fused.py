@@ -28,6 +28,9 @@ import numpy as np
 
 import os as _os
 
+from morbit_tpu.ops.precision import (current_matmul_precision,
+                                      matmul_precision_ctx)
+
 #: test hook: run the Pallas path in interpreter mode on CPU
 FORCE_INTERPRET = False
 #: escape hatch: disable the Pallas path entirely (env for A/B profiling)
@@ -305,14 +308,18 @@ def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
                    chol_pivot2=float(chol_pivot) ** 2,
                    max_points=max_points, dtype=jnp.dtype(dtype).name)
 
-    def _core(X, cand, sites0, count, param):
+    # precision: captured at bind time, replayed around deferred re-traces
+    # (lower_fun lowering runs after the solver's trace-time
+    # default_matmul_precision context exits — see ops/precision.py)
+    def _core(X, cand, sites0, count, param, precision=None):
         from morbit_tpu.models.rbf_round4 import run_round4
 
-        st = run_round4(
-            X, cand, sites0, count, kernel=kernel,
-            param=(param if static_param is None else static_param),
-            poly_deg=poly_deg, max_points=max_points,
-            chol_pivot=jnp.asarray(chol_pivot, X.dtype))
+        with matmul_precision_ctx(precision):
+            st = run_round4(
+                X, cand, sites0, count, kernel=kernel,
+                param=(param if static_param is None else static_param),
+                poly_deg=poly_deg, max_points=max_points,
+                chol_pivot=jnp.asarray(chol_pivot, X.dtype))
         return [st.accepted, st.N]
 
     prim = jex_core.Primitive(
@@ -321,12 +328,12 @@ def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
     prim.def_impl(_core)
 
     @prim.def_abstract_eval
-    def _abs(X, cand, sites0, count, param):
+    def _abs(X, cand, sites0, count, param, *, precision=None):
         return [ShapedArray((C,), jnp.bool_), ShapedArray((), jnp.int32)]
 
     mlir.register_lowering(prim, mlir.lower_fun(_core, multiple_results=True))
 
-    def _batch(args, dims):
+    def _batch(args, dims, *, precision=None):
         size = next(a.shape[d] for a, d in zip(args, dims)
                     if d is not batching.not_mapped)
 
@@ -337,12 +344,14 @@ def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
 
         X, cand, sites0, count, param = (
             at0(a, d) for a, d in zip(args, dims))
-        if R4_FUSED and _pallas_ok(dtype) and _r4_tile(statics) >= 32:
-            acc, Nf = _pallas_round4(statics, size,
-                                     jnp.swapaxes(X, 1, 2), cand, sites0,
-                                     count, param)
-        else:
-            acc, Nf = jax.vmap(_core)(X, cand, sites0, count, param)
+        with matmul_precision_ctx(precision):
+            if R4_FUSED and _pallas_ok(dtype) and _r4_tile(statics) >= 32:
+                acc, Nf = _pallas_round4(statics, size,
+                                         jnp.swapaxes(X, 1, 2), cand, sites0,
+                                         count, param)
+            else:
+                acc, Nf = jax.vmap(partial(_core, precision=precision))(
+                    X, cand, sites0, count, param)
         return [acc, Nf], [0, 0]
 
     batching.primitive_batchers[prim] = _batch
@@ -350,7 +359,8 @@ def make_batched_round4(*, n_vars, C, dtype, kernel, static_param, poly_deg,
     def r4(X, cand, sites0, count, param):
         return tuple(prim.bind(
             X, cand, sites0, jnp.asarray(count, jnp.int32),
-            jnp.asarray(param, dtype)))
+            jnp.asarray(param, dtype),
+            precision=current_matmul_precision()))
 
     return r4
 
@@ -404,13 +414,17 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
     prim = jex_core.Primitive(f"rbf_selection_n{n}_efl{tag}")
     prim.multiple_results = True
 
-    def _core_tuple(*args):
-        return list(core(*args))
+    # precision: bind-time capture, replayed around deferred re-traces
+    # (see ops/precision.py and the note in make_batched_round4)
+    def _core_tuple(*args, precision=None):
+        with matmul_precision_ctx(precision):
+            return list(core(*args))
 
     prim.def_impl(_core_tuple)
 
     @prim.def_abstract_eval
-    def _abs(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *maybe_efl):
+    def _abs(X, count, x_s, x_index, delta, lb_s, ub_s, max_new, *maybe_efl,
+             precision=None):
         dt = X.dtype
         i32 = jnp.int32
         return [
@@ -424,7 +438,7 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
     mlir.register_lowering(
         prim, mlir.lower_fun(_core_tuple, multiple_results=True))
 
-    def _batch(args, dims):
+    def _batch(args, dims, *, precision=None):
         size = next(a.shape[d] for a, d in zip(args, dims)
                     if d is not batching.not_mapped)
 
@@ -440,15 +454,16 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
         # n=10 compiles in tens of minutes, n=15 effectively hangs the
         # remote compile helper. Large-n solves keep the plain XLA
         # lowering (n=15 compiled in ~17 min there, round-2 grid).
-        if (_pallas_ok(dtype) and n <= _SELECTION_MAX_N
-                and cap <= _SELECTION_MAX_CAP):
-            if traced:
-                outs = _pallas_selection(statics, size, cap, n, *args0[:8],
-                                         efl=args0[8])
+        with matmul_precision_ctx(precision):
+            if (_pallas_ok(dtype) and n <= _SELECTION_MAX_N
+                    and cap <= _SELECTION_MAX_CAP):
+                if traced:
+                    outs = _pallas_selection(statics, size, cap, n,
+                                             *args0[:8], efl=args0[8])
+                else:
+                    outs = _pallas_selection(statics, size, cap, n, *args0)
             else:
-                outs = _pallas_selection(statics, size, cap, n, *args0)
-        else:
-            outs = jax.vmap(core)(*args0)
+                outs = jax.vmap(core)(*args0)
         return list(outs), [0] * 10
 
     batching.primitive_batchers[prim] = _batch
@@ -459,6 +474,6 @@ def make_batched_selection(n_vars, dtype, ac, cfg, ensure_fully_linear):
                 lb_s, ub_s, jnp.asarray(max_new, jnp.int32))
         if traced:
             args = args + (jnp.asarray(efl, bool),)
-        return tuple(prim.bind(*args))
+        return tuple(prim.bind(*args, precision=current_matmul_precision()))
 
     return sel

@@ -338,13 +338,21 @@ def make_admm_stages(nv, m, *, n_stages, n_steps, sigma, alpha, rho_lo,
         f"qp_admm_nv{nv}_m{m}_s{n_stages}x{n_steps}_{jnp.dtype(dtype).name}")
     prim.multiple_results = True
 
-    def _core_list(*args):
-        return list(core(*args))
+    from morbit_tpu.ops.precision import (current_matmul_precision,
+                                          matmul_precision_ctx)
+
+    # ``precision`` is captured at bind time (trace time, solver context
+    # active) and replayed around every deferred re-trace — the lower_fun
+    # lowering runs AFTER the trace-time context exits, which on TPU silently
+    # dropped these f32 matmuls to bf16 (omega=-inf; see ops/precision.py).
+    def _core_list(*args, precision=None):
+        with matmul_precision_ctx(precision):
+            return list(core(*args))
 
     prim.def_impl(_core_list)
 
     @prim.def_abstract_eval
-    def _abs(P, q, A, l, u, rho0):
+    def _abs(P, q, A, l, u, rho0, *, precision=None):
         dt = q.dtype
         return [ShapedArray((nv,), dt), ShapedArray((m,), dt),
                 ShapedArray((m,), dt)]
@@ -352,7 +360,7 @@ def make_admm_stages(nv, m, *, n_stages, n_steps, sigma, alpha, rho_lo,
     mlir.register_lowering(prim,
                            mlir.lower_fun(_core_list, multiple_results=True))
 
-    def _batch(args, dims):
+    def _batch(args, dims, *, precision=None):
         size = next(a.shape[d] for a, d in zip(args, dims)
                     if d is not batching.not_mapped)
 
@@ -363,17 +371,19 @@ def make_admm_stages(nv, m, *, n_stages, n_steps, sigma, alpha, rho_lo,
 
         args0 = tuple(at0(a, d) for a, d in zip(args, dims))
         single_level = args0[0].ndim == 3  # (B, nv, nv) — not nested vmap
-        if (single_level and _pallas_ok(dtype) and m > 0
-                and nv <= _MAX_NV and m <= _MAX_M and size >= _MIN_B):
-            outs = _pallas_admm(statics, size, *args0)
-        else:
-            outs = jax.vmap(core)(*args0)
+        with matmul_precision_ctx(precision):
+            if (single_level and _pallas_ok(dtype) and m > 0
+                    and nv <= _MAX_NV and m <= _MAX_M and size >= _MIN_B):
+                outs = _pallas_admm(statics, size, *args0)
+            else:
+                outs = jax.vmap(core)(*args0)
         return list(outs), [0, 0, 0]
 
     batching.primitive_batchers[prim] = _batch
 
     def run(P, q, A, l, u, rho0):
-        return tuple(prim.bind(P, q, A, l, u, rho0))
+        return tuple(prim.bind(P, q, A, l, u, rho0,
+                               precision=current_matmul_precision()))
 
     _PRIM_CACHE[key] = run
     return run
