@@ -33,12 +33,12 @@ BATCH = 1024
 
 
 def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
-            staged: bool = False) -> dict:
+            staged: bool = False, batch: int = BATCH) -> dict:
     dtype = jnp.float32
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
-    x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
+    x0 = jnp.asarray(halton_starts(batch, mop.lb, mop.ub), dtype)
 
     def _slim_res(res, traj):
         traj_alive = jax.tree_util.tree_map(jnp.sum, traj)
@@ -91,14 +91,14 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
     steady_s = (time.perf_counter() - t0) / n_rep
     return {
         "config": {"max_iter": max_iter, "qp_iters": qp_iters,
-                   "batch": BATCH, "dtype": "float32",
+                   "batch": batch, "dtype": "float32",
                    "runner": ("StagedMultistart (staged-capacity, bit-exact)"
                               if staged else "plain vmapped"),
                    "problem": "two_parabolas 2D, RbfConfig(multiquadric)"},
         "compile_plus_first_run_s": round(compile_s, 3),
         "blocked_latency_s_per_batch": round(blocked_s, 5),
         "steady_state_s_per_batch": round(steady_s, 5),
-        "steady_state_runs_per_sec": round(BATCH / steady_s, 2),
+        "steady_state_runs_per_sec": round(batch / steady_s, 2),
         "protocol": f"sustained: {n_rep} back-to-back batches, distinct "
                     "pre-staged inputs, one final block",
     }
@@ -121,13 +121,20 @@ def main():
 
     bench_pt = measure(max_iter=10, qp_iters=100)
     bench_staged = measure(max_iter=10, qp_iters=100, staged=True)
+    # wider fleet: per-trip glue is bandwidth-bound and scales sublinearly
+    # with batch (tools/profile_trip_fixed.py: 0.72 -> 0.56 us/run/trip
+    # going B=1024 -> 4096), so larger fleets get better per-run throughput
+    bench_staged_4k = measure(max_iter=10, qp_iters=100, staged=True,
+                              batch=4096)
     default_pt = measure(max_iter=100, qp_iters=400)
     default_staged = measure(max_iter=100, qp_iters=400, staged=True)
     bench_pt["denominators"] = denoms("bench_config")
     bench_staged["denominators"] = denoms("bench_config")
+    bench_staged_4k["denominators"] = denoms("bench_config")
     default_pt["denominators"] = denoms("reference_default_config")
     default_staged["denominators"] = denoms("reference_default_config")
-    for pt in (bench_pt, bench_staged, default_pt, default_staged):
+    for pt in (bench_pt, bench_staged, bench_staged_4k, default_pt,
+               default_staged):
         for name, den in pt["denominators"].items():
             pt[f"vs_{name.replace('_runs_per_sec', '')}"] = round(
                 pt["steady_state_runs_per_sec"] / den, 2)
@@ -142,11 +149,13 @@ def main():
                 "(StagedMultistart)",
         "bench_config": bench_pt,
         "bench_config_staged": bench_staged,
+        "bench_config_staged_b4096": bench_staged_4k,
         "reference_default_config": default_pt,
         "reference_default_config_staged": default_staged,
     }
     (root / "bench_points_r3.json").write_text(json.dumps(out, indent=2) + "\n")
     for k in ("bench_config", "bench_config_staged",
+              "bench_config_staged_b4096",
               "reference_default_config", "reference_default_config_staged"):
         print(json.dumps(out[k]))
 

@@ -37,12 +37,20 @@ def slope_of_iterates(solver, state, k_lo=2, k_hi=10, reps=5):
         return jax.jit(jax.vmap(f, axis_size=state.x.shape[0]))
 
     def timed(f):
-        out = f(state)
+        # distinct input VALUES per call: the axon tunnel serves repeated
+        # identical (executable, input) calls from a result cache in ~30us
+        # regardless of work (CLAUDE.md round-2 finding) — pre-stage one
+        # perturbed state per rep, then time back-to-back calls
+        variants = [
+            jax.block_until_ready(
+                state._replace(delta=state.delta + 1e-9 * (r + 1)))
+            for r in range(reps + 1)
+        ]
+        out = f(variants[-1])
         jax.block_until_ready(out.x)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f(state)
-        jax.block_until_ready(out.x)
+        outs = [f(v) for v in variants[:reps]]
+        jax.block_until_ready(outs[-1].x)
         return (time.perf_counter() - t0) / reps
 
     return (timed(runner(k_hi)) - timed(runner(k_lo))) / (k_hi - k_lo)
