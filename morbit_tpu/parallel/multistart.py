@@ -16,6 +16,7 @@ inventory): the whole solver is a pure function, so
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -142,6 +143,112 @@ def _resize_traj(states, new_T: int):
     return states._replace(traj=_dc.replace(traj, data=data2))
 
 
+def fleet_eligible(ac: AlgorithmConfig) -> bool:
+    """Whether the fleet-loop big-buffer exemption (:func:`_fleet_bounded`)
+    is sound for this config.  It requires the databases and the trajectory
+    to be strictly APPEND-ONLY below their fill counter:
+
+    * ``use_db=False`` rewrites rows < count every iteration
+      (``compact_to_row``), and
+    * ``var_scaler_update == 'model'`` rescales every stored site in place,
+
+    so both disqualify; everything else preserves the invariant pinned in
+    ``database.add_site`` (inserts touch only the slot at ``count``,
+    ``eval_missing`` only fills values of not-yet-evaluated rows)."""
+    return bool(ac.use_db) and ac.var_scaler_update != "model"
+
+
+def _fleet_splice_big_buffers(selected, new):
+    """Take the (possibly junk-bearing) db/trajectory ``data`` buffers from
+    ``new`` into the lane-frozen ``selected`` state — see
+    :func:`_fleet_bounded` for why this is exact."""
+    groups = tuple(
+        go._replace(db=dataclasses.replace(go.db, data=gn.db.data))
+        for gn, go in zip(new.groups, selected.groups))
+    traj = dataclasses.replace(selected.traj, data=new.traj.data)
+    return selected._replace(groups=groups, traj=traj)
+
+
+def _fleet_bounded(solver, k: Optional[int] = None):
+    """Batch-level while_loop over ``vmap(iterate)`` with the big
+    append-only buffers exempt from lane freezing ("fleet loop").
+
+    A ``vmap``-ed ``solve_from_state`` is a batched ``while_loop``: JAX's
+    while-batching rule freezes finished lanes by selecting EVERY carry
+    leaf per trip (``where(lane_continues, new, old)``) — including the
+    capacity-sized ``db.data`` (cap, n+m+1) and ``traj.data`` (T, W)
+    buffers, whose selects dominate the capacity-proportional per-trip
+    floor (tools/profile_trip_fixed.py, tools/profile_fleet.py: 16.6 ->
+    13.8 ms/batch at the bench config on v5e).
+
+    Both buffers are APPEND-ONLY with a ``count`` fill pointer: writes land
+    one-hot at ``count`` (``database.add_site``, ``Solver._stamp``) and
+    every read masks by ``count`` (``database.valid_mask``, explicit row
+    indices from model metas).  With ``count`` itself frozen by the normal
+    select, the junk rows a re-executed ``iterate`` writes for a stopped
+    lane land at ``slot >= count`` and are INVISIBLE to every read — so the
+    big ``data`` leaves can skip the freeze select entirely.  Per-lane math
+    is bit-identical to the plain vmapped solve; only the invisible buffer
+    tails (rows >= count) differ (:func:`canonicalize_buffer_tails` zeroes
+    them for comparisons/checkpoints).  Soundness guards:
+    :func:`fleet_eligible`.
+
+    ``k``: static per-lane iteration bound (``None`` = run to completion).
+    The scalar trip counter bounds every lane identically to the per-lane
+    ``j`` carry in the vmapped form: a lane active at trip j has executed
+    exactly j iterations since entry.
+    """
+    from morbit_tpu.core.enums import STOP_CODE
+
+    def run(states):
+        def cond(c):
+            st, j = c
+            alive = jnp.any(st.stop_code == STOP_CODE.CONTINUE)
+            return alive if k is None else alive & (j < k)
+
+        def body(c):
+            st, j = c
+            active = st.stop_code == STOP_CODE.CONTINUE
+            new = jax.vmap(solver.iterate)(st)
+
+            def sel(a, b):
+                m = active.reshape(active.shape + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+
+            out = jax.tree_util.tree_map(sel, new, st)
+            return _fleet_splice_big_buffers(out, new), j + jnp.int32(1)
+
+        st, _ = jax.lax.while_loop(cond, body, (states, jnp.int32(0)))
+        return st
+
+    return run
+
+
+def canonicalize_buffer_tails(states):
+    """Zero the invisible tail rows (``row >= count``) of every group
+    database and of the trajectory buffer.
+
+    The solver's contract is that those rows are dead storage (every read
+    masks by the fill counter); the fleet loop (:func:`_fleet_bounded`)
+    leaves junk there where the plain vmapped solve leaves frozen/zero
+    rows.  Canonicalizing makes states from different runners bit-comparable
+    and checkpoint files deterministic.  Works on unbatched and batched
+    states alike."""
+
+    def zero_tail(data, count):
+        rows = jnp.arange(data.shape[-2])
+        m = rows < count[..., None] if count.ndim else rows < count
+        return jnp.where(m[..., None], data, jnp.zeros((), data.dtype))
+
+    groups = tuple(
+        g._replace(db=dataclasses.replace(
+            g.db, data=zero_tail(g.db.data, g.db.count)))
+        for g in states.groups)
+    traj = dataclasses.replace(
+        states.traj, data=zero_tail(states.traj.data, states.traj.count))
+    return states._replace(groups=groups, traj=traj)
+
+
 class StagedMultistart:
     """One-jit staged-capacity multistart (no host syncs, no compaction).
 
@@ -176,13 +283,29 @@ class StagedMultistart:
     capacity-cost integral tracks the lane-retirement CDF within ~2x without
     problem knowledge). Stages whose capacity already equals the next
     stage's are merged away.
+
+    ``fleet``: run each stage as a batch-level "fleet loop" with the big
+    append-only buffers exempt from lane freezing (:func:`_fleet_bounded`)
+    — same per-lane math, measurably cheaper trips. ``None`` (default)
+    auto-enables when :func:`fleet_eligible`; ``True`` raises if the config
+    disqualifies. With fleet on, the dead buffer tails (rows >= count) of
+    the returned state carry junk instead of zeros — canonicalize with
+    :func:`canonicalize_buffer_tails` before comparing states across
+    runners.
     """
 
     def __init__(self, mop, algo_config: Optional[AlgorithmConfig] = None,
                  dtype=jnp.float32, schedule: Optional[tuple] = None,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, fleet: Optional[bool] = None):
         self.solver = build_solver(mop, algo_config, dtype)
         self.dtype = dtype
+        if fleet is None:
+            fleet = fleet_eligible(self.solver.ac)
+        elif fleet and not fleet_eligible(self.solver.ac):
+            raise ValueError(
+                "fleet=True requires use_db=True and "
+                "var_scaler_update != 'model' (append-only invariant)")
+        self.fleet = bool(fleet)
         max_iter = self.solver.ac.max_iter
         if schedule is None:
             schedule = tuple(sorted({max(1, max_iter // d)
@@ -211,6 +334,9 @@ class StagedMultistart:
         solver = self.solver
 
         def bounded(k):
+            if self.fleet:
+                return _fleet_bounded(solver, k)
+
             def one(s):
                 def cond(c):
                     st, j = c
@@ -223,17 +349,20 @@ class StagedMultistart:
                 st, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
                 return st
 
-            return one
+            return jax.vmap(one)
 
         states = jax.vmap(solver.initialize)(x0_batch)
         prev = 0
         for t, (cap, tcap) in self.schedule:
             states = _resize_traj(_resize_dbs(states, cap), tcap)
-            states = jax.vmap(bounded(t - prev))(states)
+            states = bounded(t - prev)(states)
             prev = t
         states = _resize_traj(_resize_dbs(states, solver.db_capacity),
                               solver.T)
-        states = jax.vmap(solver.solve_from_state)(states)
+        if self.fleet:
+            states = _fleet_bounded(solver, None)(states)
+        else:
+            states = jax.vmap(solver.solve_from_state)(states)
         n_evals = jax.vmap(solver._total_evals)(states.groups)
         return OptimizeResult(
             x=states.x, fx=states.fx, stop_code=states.stop_code,

@@ -135,14 +135,35 @@ def test_compacted_stage_schedule_matches_plain():
     np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
 
 
+def _assert_canon_equal(res, ref):
+    """Leaf-exact equality after canonicalizing the dead buffer tails
+    (rows >= count are dead storage by the solver's read contract; the
+    fleet loop leaves junk there where the plain solve leaves frozen/zero
+    rows)."""
+    from morbit_tpu.parallel.multistart import canonicalize_buffer_tails
+
+    res = res._replace(state=canonicalize_buffer_tails(res.state))
+    ref = ref._replace(state=canonicalize_buffer_tails(ref.state))
+    for a, b in zip(jax.tree_util.tree_leaves(res),
+                    jax.tree_util.tree_leaves(ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
 def test_staged_multistart_matches_plain():
     """Staged-capacity execution must be exact: running the early
     iterations at the (smaller) capacity their cumulative bound implies and
     zero-row padding between stages replays identical per-lane math — the
     buffer tails it omits are masked, append-only rows that the full run
-    never touches either.  Full result pytree must match the plain vmapped
-    solve leaf for leaf (the state databases differ only in trailing zero
-    rows, which _resize_dbs pads back to the full capacity)."""
+    never touches either.  With fleet=False the full result pytree must
+    match the plain vmapped solve leaf for leaf (the state databases differ
+    only in trailing zero rows, which _resize_dbs pads back to the full
+    capacity); the default fleet mode must match after canonicalizing the
+    dead buffer tails."""
     from morbit_tpu.parallel.multistart import StagedMultistart
 
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
@@ -150,7 +171,8 @@ def test_staged_multistart_matches_plain():
     ac = AlgorithmConfig(max_iter=12, qp_iters=100)
     x0 = halton_starts(8, mop.lb, mop.ub)
     ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
-    run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6))
+    run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6),
+                           fleet=False)
     # the schedule must actually stage (capacities strictly grow)
     assert len(run.schedule) >= 1
     assert run.schedule[0][1][0] < run.solver.db_capacity
@@ -168,6 +190,42 @@ def test_staged_multistart_matches_plain():
     # runner reuse: second batch, same shapes -> no retrace, same answers
     res2 = run(x0)
     np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
+
+
+def test_staged_fleet_matches_plain_masked():
+    """Fleet mode (batch-level while_loop, big append-only buffers exempt
+    from lane freezing) must replay bit-identical per-lane math: every leaf
+    equals the plain vmapped solve after zeroing the dead buffer tails —
+    including db/traj fill counters, eval counters, stop codes and the
+    stamped trajectory rows below count."""
+    from morbit_tpu.parallel.multistart import StagedMultistart
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    x0 = halton_starts(8, mop.lb, mop.ub)
+    ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6))
+    assert run.fleet  # auto-enabled: use_db=True, var_scaler_update default
+    _assert_canon_equal(run(x0), ref)
+
+
+def test_fleet_guard_rejects_ineligible_config():
+    """fleet=True must raise when the append-only invariant does not hold
+    (use_db=False rewrites rows < count each iteration); the auto mode must
+    silently fall back to per-lane while_loops."""
+    from morbit_tpu.parallel.multistart import StagedMultistart
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=6, qp_iters=100, use_db=False)
+    try:
+        StagedMultistart(mop, ac, dtype=jnp.float64, fleet=True)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    run = StagedMultistart(mop, ac, dtype=jnp.float64)
+    assert not run.fleet
 
 
 def test_staged_multistart_sharded_mesh():

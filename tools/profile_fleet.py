@@ -69,11 +69,16 @@ def fleet_solve_fn(solver):
 def masked_equal(plain, fleet):
     """All non-exempt leaves bit-equal; exempt buffers equal below count."""
     ok = True
+    # identify the exempt leaves by IDENTITY (tree_leaves returns the same
+    # array objects), not by key path — the state pytrees register
+    # positional keys, so string matching on ".data" silently fails
+    exempt = {id(plain.traj.data)}
+    exempt |= {id(g.db.data) for g in plain.groups}
     pl, fl = jax.tree_util.tree_leaves_with_path(plain), \
         jax.tree_util.tree_leaves_with_path(fleet)
     for (pa, a), (pb, b) in zip(pl, fl):
         path = jax.tree_util.keystr(pa)
-        if ".data" in path and (".traj" in path or ".db" in path):
+        if id(a) in exempt:
             continue  # checked below, count-masked
         if not np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True):
             print(f"  MISMATCH at {path}")
