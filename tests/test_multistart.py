@@ -210,6 +210,33 @@ def test_staged_fleet_matches_plain_masked():
     _assert_canon_equal(run(x0), ref)
 
 
+def test_staged_fleet_matches_plain_constrained():
+    """Fleet equivalence on an NL-constrained problem: the normal-step,
+    restoration and filter paths also write the databases (candidate
+    bundles, restoration evaluations) — all append-only, so the fleet
+    exemption must stay exact there too.  Starts straddle the feasible
+    region so both compatible and incompatible iterations occur."""
+    from morbit_tpu.core.mop import MOP
+    from morbit_tpu.parallel.multistart import StagedMultistart
+
+    cfg = RbfConfig(kernel="cubic")
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) - 1.0,
+                               model_cfg=cfg)
+    ac = AlgorithmConfig(max_iter=10, qp_iters=100)
+    x0 = np.asarray(halton_starts(6, mop.lb, mop.ub))
+    x0[:2] = [[0.3, -0.2], [-0.5, 0.4]]  # two feasible starts
+    # the start batch must straddle feasibility so both paths run
+    infeas = np.sum(x0 ** 2, axis=1) > 1.0
+    assert infeas.any() and not infeas.all()
+    ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6))
+    assert run.fleet
+    _assert_canon_equal(run(x0), ref)
+
+
 def test_fleet_guard_rejects_ineligible_config():
     """fleet=True must raise when the append-only invariant does not hold
     (use_db=False rewrites rows < count each iteration); the auto mode must
