@@ -292,11 +292,39 @@ class StagedMultistart:
     the returned state carry junk instead of zeros — canonicalize with
     :func:`canonicalize_buffer_tails` before comparing states across
     runners.
+
+    ``widths``: optional per-stage LANE widths — on-device lane compaction
+    (the TPU-native answer to the reference benchmark loop never spending a
+    core on a finished run, ``examples/large_scale_benchmarks.jl:253-275``,
+    without :class:`CompactedMultistart`'s per-stage host round-trips).
+    Lane retirement is heavily front-loaded (1024 -> ~565 active after 10
+    iterations -> ~121 after 20 at the reference budget,
+    tools/profile_compaction.py), yet a batched while_loop pays every trip
+    for ALL lanes. Before a stage whose width ``w < B``, the batch is
+    stably argsorted active-lanes-first ON DEVICE and the stage while_loop
+    runs on the first ``w`` lanes only; frozen lanes rejoin the sort at the
+    next boundary, and the mandatory full-width to-completion stage at the
+    end catches any lane a too-narrow width starved — so ANY widths are
+    equivalent (per-lane math is permutation-invariant under vmap), only
+    the wall-clock varies.  Equivalence caveat: a compacted stage compiles
+    at batch width ``w``, and XLA fuses/vectorizes each width differently
+    (width 1 lowers batched ops to unbatched kernels), so per-lane floats
+    match the plain solve only up to FMA/reassociation (measured <= 7e-12
+    relative at f64); every integer observable (stop codes, iteration and
+    eval counts) stays bit-identical — tests/test_multistart.py
+    ``test_staged_widths_match_plain``.  Lane order is restored once at
+    the end. Length must
+    be ``len(self.schedule)`` (one per bounded stage) or that plus 1, where
+    the extra last entry adds a compacted to-completion stage BEFORE the
+    full-width catch-all (which then usually runs zero trips). Entries
+    ``>= B`` disable compaction for that stage. Not supported together
+    with ``mesh`` (a lane sort across shards is a collective resharding).
     """
 
     def __init__(self, mop, algo_config: Optional[AlgorithmConfig] = None,
                  dtype=jnp.float32, schedule: Optional[tuple] = None,
-                 mesh: Optional[Mesh] = None, fleet: Optional[bool] = None):
+                 mesh: Optional[Mesh] = None, fleet: Optional[bool] = None,
+                 widths: Optional[tuple] = None):
         self.solver = build_solver(mop, algo_config, dtype)
         self.dtype = dtype
         if fleet is None:
@@ -321,6 +349,20 @@ class StagedMultistart:
             if c[0] < nxt[0] or c[1] < nxt[1]:
                 keep.append((t, c))
         self.schedule = tuple(keep)
+        if widths is not None:
+            widths = tuple(int(w) for w in widths)
+            if mesh is not None:
+                raise ValueError("widths (on-device lane compaction) is not "
+                                 "supported together with mesh sharding")
+            if len(widths) not in (len(self.schedule), len(self.schedule) + 1):
+                raise ValueError(
+                    f"widths must have one entry per bounded stage "
+                    f"({len(self.schedule)} after merging; schedule="
+                    f"{tuple(t for t, _ in self.schedule)}), optionally "
+                    f"plus one for a compacted to-completion stage")
+            if any(w < 1 for w in widths):
+                raise ValueError("widths entries must be >= 1")
+        self.widths = widths
         self.mesh = mesh
         if mesh is not None:
             in_sharding = NamedSharding(mesh, P("batch", None))
@@ -352,17 +394,52 @@ class StagedMultistart:
             return jax.vmap(one)
 
         states = jax.vmap(solver.initialize)(x0_batch)
+        B = x0_batch.shape[0]
+        widths = self.widths
+        order = None  # composed lane permutation (states[i] = orig[order[i]])
+
+        def compacted(states, order, w, run):
+            """Sort active lanes to the front (stable, on device), run the
+            stage on the first ``w`` lanes only, and splice the frozen tail
+            back. Exact: lanes are independent under vmap, so permutation +
+            slicing replays identical per-lane math; starved active lanes
+            (active count > w) simply wait for a later stage — the final
+            full-width catch-all runs every remaining lane to completion."""
+            active = states.stop_code == STOP_CODE.CONTINUE
+            perm = jnp.argsort(jnp.where(active, 0, 1).astype(jnp.int32),
+                               stable=True)
+            states = jax.tree_util.tree_map(lambda a: a[perm], states)
+            order = perm if order is None else order[perm]
+            head = jax.tree_util.tree_map(lambda a: a[:w], states)
+            tail = jax.tree_util.tree_map(lambda a: a[w:], states)
+            head = run(head)
+            states = jax.tree_util.tree_map(
+                lambda h, tl: jnp.concatenate([h, tl], axis=0), head, tail)
+            return states, order
+
         prev = 0
-        for t, (cap, tcap) in self.schedule:
+        for i, (t, (cap, tcap)) in enumerate(self.schedule):
             states = _resize_traj(_resize_dbs(states, cap), tcap)
-            states = bounded(t - prev)(states)
+            w = B if widths is None else min(widths[i], B)
+            if w < B:
+                states, order = compacted(states, order, w,
+                                          bounded(t - prev))
+            else:
+                states = bounded(t - prev)(states)
             prev = t
         states = _resize_traj(_resize_dbs(states, solver.db_capacity),
                               solver.T)
-        if self.fleet:
-            states = _fleet_bounded(solver, None)(states)
-        else:
-            states = jax.vmap(solver.solve_from_state)(states)
+        to_completion = (_fleet_bounded(solver, None) if self.fleet
+                         else jax.vmap(solver.solve_from_state))
+        if widths is not None and len(widths) == len(self.schedule) + 1 \
+                and widths[-1] < B:
+            states, order = compacted(states, order, widths[-1],
+                                      to_completion)
+        # full-width catch-all: zero trips unless a width starved a lane
+        states = to_completion(states)
+        if order is not None:
+            inv = jnp.argsort(order, stable=True)
+            states = jax.tree_util.tree_map(lambda a: a[inv], states)
         n_evals = jax.vmap(solver._total_evals)(states.groups)
         return OptimizeResult(
             x=states.x, fx=states.fx, stop_code=states.stop_code,
@@ -380,10 +457,12 @@ class StagedMultistart:
 def staged_multistart(mop, x0_batch,
                       algo_config: Optional[AlgorithmConfig] = None,
                       dtype=jnp.float32, schedule: Optional[tuple] = None,
-                      mesh: Optional[Mesh] = None) -> OptimizeResult:
+                      mesh: Optional[Mesh] = None,
+                      widths: Optional[tuple] = None) -> OptimizeResult:
     """One-shot convenience wrapper for :class:`StagedMultistart` (repeated
     fleets should construct the runner once to reuse the compiled program)."""
-    return StagedMultistart(mop, algo_config, dtype, schedule, mesh)(x0_batch)
+    return StagedMultistart(mop, algo_config, dtype, schedule, mesh,
+                            widths=widths)(x0_batch)
 
 
 class CompactedMultistart:

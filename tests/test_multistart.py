@@ -237,6 +237,78 @@ def test_staged_fleet_matches_plain_constrained():
     _assert_canon_equal(run(x0), ref)
 
 
+def _assert_canon_close(res, ref, rtol=1e-9):
+    """Like :func:`_assert_canon_equal` but float leaves compare with a
+    (tight) tolerance while integer leaves stay bit-exact.  Lane compaction
+    runs a lane's iterations inside stage programs compiled at DIFFERENT
+    batch widths than the plain solve; XLA fuses/vectorizes each width
+    differently (width 1 especially: batched ops lower to unbatched
+    kernels), so float results match only up to FMA/reassociation — last
+    bits, measured <= 7e-12 relative — while every integer observable
+    (stop codes, iteration counts, eval counters, db fill counts) must
+    still be identical."""
+    from morbit_tpu.parallel.multistart import canonicalize_buffer_tails
+
+    res = res._replace(state=canonicalize_buffer_tails(res.state))
+    ref = ref._replace(state=canonicalize_buffer_tails(ref.state))
+    for a, b in zip(jax.tree_util.tree_leaves(res),
+                    jax.tree_util.tree_leaves(ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=rtol)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+def test_staged_widths_match_plain():
+    """On-device lane compaction (per-stage widths) must be equivalent for
+    ANY widths: active lanes are stably sorted to the front on device and
+    the stage runs on the head only; lanes an (intentionally) starving
+    width leaves behind are caught by the mandatory full-width
+    to-completion stage.  Checked against the plain vmapped solve after
+    canonicalizing dead buffer tails, for (a) generous widths, (b) a
+    starving width of 1, (c) a compacted final stage (len(widths) ==
+    len(schedule) + 1), and (d) fleet=False.  Floats compare tolerantly
+    (see :func:`_assert_canon_close`: different stage widths compile to
+    differently-fused XLA programs, so per-lane floats agree only to
+    reassociation); all integer observables must be bit-identical."""
+    from morbit_tpu.parallel.multistart import StagedMultistart
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    x0 = halton_starts(8, mop.lb, mop.ub)
+    ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    for widths, fleet in (((8, 6), None), ((4, 1), None), ((8, 4, 4), None),
+                          ((6, 4), False)):
+        run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6),
+                               fleet=fleet, widths=widths)
+        assert len(run.schedule) == 2
+        _assert_canon_close(run(x0), ref)
+
+
+def test_staged_widths_validation():
+    from morbit_tpu.parallel.multistart import StagedMultistart, default_mesh
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    for bad in ((4,), (4, 4, 4, 4), (4, 0)):
+        try:
+            StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6),
+                             widths=bad)
+            assert False, f"expected ValueError for widths={bad}"
+        except ValueError:
+            pass
+    try:
+        StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6),
+                         widths=(4, 4), mesh=default_mesh())
+        assert False, "expected ValueError for widths+mesh"
+    except ValueError:
+        pass
+
+
 def test_fleet_guard_rejects_ineligible_config():
     """fleet=True must raise when the append-only invariant does not hold
     (use_db=False rewrites rows < count each iteration); the auto mode must
