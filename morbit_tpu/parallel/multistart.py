@@ -454,6 +454,50 @@ class StagedMultistart:
         return self._run(x0_batch)
 
 
+def suggest_widths(runner: "StagedMultistart", n_iterations,
+                   slack: float = 1.1, quantum: int = 64,
+                   batch: Optional[int] = None) -> tuple:
+    """Derive a per-stage ``widths`` schedule from a measured per-lane
+    iteration count (``OptimizeResult.n_iterations`` of a probe fleet).
+
+    Lane retirement is workload-dependent, so the right compaction widths
+    cannot be static defaults; but ANY widths are exact (the full-width
+    catch-all finishes starved lanes — see :class:`StagedMultistart`), so a
+    probe-derived schedule is safe even when later fleets retire
+    differently — only the wall-clock varies.  Protocol: run one probe
+    fleet with ``widths=None`` (or on CPU), then rebuild the runner with
+    ``widths=suggest_widths(runner, probe.n_iterations)`` for the repeated
+    fleets.  This mirrors how the reference benchmark loop adapts to
+    per-run length via dynamic thread scheduling
+    (``examples/large_scale_benchmarks.jl:253-275``) — here the adaptation
+    happens once, at schedule-pick time, keeping the hot path a single
+    compiled program.
+
+    Width for the stage entered after cumulative bound ``t`` is the lane
+    count with ``n_iterations > t``, padded by ``slack`` (criticality
+    micro-steps consume loop trips without advancing the iteration counter,
+    so trip-retirement lags iteration-retirement), rounded up to
+    ``quantum`` lanes (fewer distinct widths, sublane-friendly shapes).
+    The returned tuple has ``len(runner.schedule) + 1`` entries: the extra
+    final entry compacts the to-completion stage too.
+    """
+    import numpy as _np
+
+    n_iter = _np.asarray(n_iterations)
+    B = int(batch if batch is not None else n_iter.shape[0])
+    q = max(1, int(quantum))
+
+    def width(count):
+        need = int(_np.ceil(count * float(slack) / q)) * q
+        return max(q, min(B, need))
+
+    bounds = tuple(t for t, _ in runner.schedule)
+    ws = [B]  # first stage: every lane is active
+    for t in bounds:
+        ws.append(width(int((n_iter > t).sum())))
+    return tuple(ws)
+
+
 def staged_multistart(mop, x0_batch,
                       algo_config: Optional[AlgorithmConfig] = None,
                       dtype=jnp.float32, schedule: Optional[tuple] = None,

@@ -388,3 +388,28 @@ def test_dtlz2_runs():
                               AlgorithmConfig(max_iter=8, qp_iters=100),
                               dtype=jnp.float64)
     assert np.all(np.isfinite(np.asarray(res.fx)))
+
+
+def test_suggest_widths_probe_protocol():
+    """``suggest_widths`` derives a per-stage compaction schedule from a
+    probe fleet's ``n_iterations``: one entry per bounded stage plus a
+    compacted to-completion entry, monotone with the iteration CDF, and the
+    derived-widths runner stays equivalent to the plain vmapped solve (the
+    catch-all guarantees that for ANY widths; this pins the protocol)."""
+    from morbit_tpu.parallel.multistart import (
+        StagedMultistart, suggest_widths)
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    x0 = halton_starts(8, mop.lb, mop.ub)
+    probe = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6))
+    res = probe(x0)
+    ws = suggest_widths(probe, res.n_iterations, quantum=2)
+    assert len(ws) == len(probe.schedule) + 1
+    assert ws[0] == 8 and all(1 <= w <= 8 for w in ws)
+    assert all(a >= b for a, b in zip(ws[1:], ws[2:]))  # CDF is monotone
+    run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=(3, 6),
+                           widths=ws)
+    ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
+    _assert_canon_close(run(x0), ref)
