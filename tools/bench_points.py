@@ -33,12 +33,24 @@ BATCH = 1024
 
 
 def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
-            staged: bool = False, batch: int = BATCH) -> dict:
+            staged: bool = False, batch: int = BATCH,
+            widths: object = None) -> dict:
     dtype = jnp.float32
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
     x0 = jnp.asarray(halton_starts(batch, mop.lb, mop.ub), dtype)
+
+    if widths == "auto":
+        # probe protocol (suggest_widths docstring): one plain staged fleet
+        # measures the per-lane iteration CDF, the widths runner is rebuilt
+        # from it. The probe compile is NOT counted in this row's compile
+        # time (a repeated-fleet deployment pays it once, or probes on CPU).
+        from morbit_tpu.parallel.multistart import (StagedMultistart,
+                                                    suggest_widths)
+
+        probe = StagedMultistart(mop, ac, dtype)
+        widths = suggest_widths(probe, probe(x0).n_iterations)
 
     def _slim_res(res, traj):
         traj_alive = jax.tree_util.tree_map(jnp.sum, traj)
@@ -52,7 +64,7 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
         # tunnel (CLAUDE.md)
         from morbit_tpu.parallel.multistart import StagedMultistart
 
-        runner = StagedMultistart(mop, ac, dtype)
+        runner = StagedMultistart(mop, ac, dtype, widths=widths)
 
         def slim_batch(x0b):
             res = runner._run_impl(x0b)
@@ -92,7 +104,12 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
     return {
         "config": {"max_iter": max_iter, "qp_iters": qp_iters,
                    "batch": batch, "dtype": "float32",
-                   "runner": ("StagedMultistart (staged-capacity, bit-exact)"
+                   "runner": ("StagedMultistart (staged-capacity, "
+                              f"probe-derived lane-compaction widths="
+                              f"{widths}, exact: ints bit-identical, "
+                              "floats to reassociation)"
+                              if staged and widths is not None else
+                              "StagedMultistart (staged-capacity, bit-exact)"
                               if staged else "plain vmapped"),
                    "problem": "two_parabolas 2D, RbfConfig(multiquadric)"},
         "compile_plus_first_run_s": round(compile_s, 3),
@@ -119,25 +136,34 @@ def main():
                                             f64)
         return d
 
-    bench_pt = measure(max_iter=10, qp_iters=100)
-    bench_staged = measure(max_iter=10, qp_iters=100, staged=True)
-    # wider fleet: per-trip glue is bandwidth-bound and scales sublinearly
-    # with batch (tools/profile_trip_fixed.py: 0.72 -> 0.56 us/run/trip
-    # going B=1024 -> 4096), so larger fleets get better per-run throughput
-    bench_staged_4k = measure(max_iter=10, qp_iters=100, staged=True,
-                              batch=4096)
-    default_pt = measure(max_iter=100, qp_iters=400)
-    default_staged = measure(max_iter=100, qp_iters=400, staged=True)
-    bench_pt["denominators"] = denoms("bench_config")
-    bench_staged["denominators"] = denoms("bench_config")
-    bench_staged_4k["denominators"] = denoms("bench_config")
-    default_pt["denominators"] = denoms("reference_default_config")
-    default_staged["denominators"] = denoms("reference_default_config")
-    for pt in (bench_pt, bench_staged, bench_staged_4k, default_pt,
-               default_staged):
+    rows = {}
+
+    def add(key, denom_key, **kw):
+        pt = measure(**kw)
+        pt["denominators"] = denoms(denom_key)
         for name, den in pt["denominators"].items():
             pt[f"vs_{name.replace('_runs_per_sec', '')}"] = round(
                 pt["steady_state_runs_per_sec"] / den, 2)
+        rows[key] = pt
+        print(json.dumps(pt), flush=True)
+
+    add("bench_config", "bench_config", max_iter=10, qp_iters=100)
+    add("bench_config_staged", "bench_config", max_iter=10, qp_iters=100,
+        staged=True)
+    # wider fleet: per-trip glue is bandwidth-bound and scales sublinearly
+    # with batch (tools/profile_trip_fixed.py: 0.72 -> 0.56 us/run/trip
+    # going B=1024 -> 4096), so larger fleets get better per-run throughput
+    add("bench_config_staged_b4096", "bench_config", max_iter=10,
+        qp_iters=100, staged=True, batch=4096)
+    add("reference_default_config", "reference_default_config",
+        max_iter=100, qp_iters=400)
+    add("reference_default_config_staged", "reference_default_config",
+        max_iter=100, qp_iters=400, staged=True)
+    # on-device lane compaction (probe-derived per-stage widths): the
+    # ref-budget winner — retirement is front-loaded, so late stages run on
+    # a narrow head of still-active lanes (8ddc80c: 18.9k -> 37.3k runs/s)
+    add("reference_default_config_staged_widths", "reference_default_config",
+        max_iter=100, qp_iters=400, staged=True, widths="auto")
 
     out = {
         "platform": jax.devices()[0].platform,
@@ -146,18 +172,12 @@ def main():
                 "single-instance sequential single-core CPU runs of this "
                 "same solver (tools/measure_baseline.py, BASELINE.md); "
                 "'staged' rows run the bit-exact staged-capacity runner "
-                "(StagedMultistart)",
-        "bench_config": bench_pt,
-        "bench_config_staged": bench_staged,
-        "bench_config_staged_b4096": bench_staged_4k,
-        "reference_default_config": default_pt,
-        "reference_default_config_staged": default_staged,
+                "(StagedMultistart); 'widths' rows add on-device lane "
+                "compaction (ints bit-identical, floats to reassociation, "
+                "tests/test_multistart.py::test_staged_widths_match_plain)",
+        **rows,
     }
     (root / "bench_points_r3.json").write_text(json.dumps(out, indent=2) + "\n")
-    for k in ("bench_config", "bench_config_staged",
-              "bench_config_staged_b4096",
-              "reference_default_config", "reference_default_config_staged"):
-        print(json.dumps(out[k]))
 
 
 if __name__ == "__main__":
