@@ -317,8 +317,13 @@ class StagedMultistart:
     be ``len(self.schedule)`` (one per bounded stage) or that plus 1, where
     the extra last entry adds a compacted to-completion stage BEFORE the
     full-width catch-all (which then usually runs zero trips). Entries
-    ``>= B`` disable compaction for that stage. Not supported together
-    with ``mesh`` (a lane sort across shards is a collective resharding).
+    ``>= B`` disable compaction for that stage. Combined with ``mesh``,
+    compaction runs PER SHARD (``jax.shard_map``, no collectives): a global
+    lane sort across shards would be a collective resharding, but instances
+    are independent, so each shard stably sorts and compacts its own lanes
+    with ``ceil(width / n_devices)`` head lanes — same exactness guarantee
+    (the per-shard full-width catch-all finishes any lane a locally
+    unbalanced retirement starves).
     """
 
     def __init__(self, mop, algo_config: Optional[AlgorithmConfig] = None,
@@ -351,9 +356,6 @@ class StagedMultistart:
         self.schedule = tuple(keep)
         if widths is not None:
             widths = tuple(int(w) for w in widths)
-            if mesh is not None:
-                raise ValueError("widths (on-device lane compaction) is not "
-                                 "supported together with mesh sharding")
             if len(widths) not in (len(self.schedule), len(self.schedule) + 1):
                 raise ValueError(
                     f"widths must have one entry per bounded stage "
@@ -364,13 +366,35 @@ class StagedMultistart:
                 raise ValueError("widths entries must be >= 1")
         self.widths = widths
         self.mesh = mesh
-        if mesh is not None:
+        if mesh is not None and widths is not None:
+            # per-shard lane compaction: a GLOBAL lane sort across shards
+            # would be a collective resharding, but instances are independent
+            # (pure data parallelism, SURVEY §5.8), so each shard may sort
+            # and compact its OWN lanes locally. shard_map runs _run_impl
+            # per shard with no collectives; widths divide across shards
+            # (ceil, so the global head is never starved below the requested
+            # width). Exactness is unchanged — per-lane math is
+            # permutation-invariant and the full-width catch-all still runs
+            # per shard (tests/test_multistart.py::
+            # test_staged_widths_sharded_mesh_match_plain).
+            n_sh = int(mesh.devices.size)
+            local = tuple(max(1, -(-w // n_sh)) for w in widths)
+            # check_vma=False: the body is collective-free by construction,
+            # and the strict varying-manual-axes check rejects while_loop
+            # carries whose init is an unvarying constant (e.g. the RBF
+            # round-4 wave counter) even though every output IS per-shard.
+            f = jax.shard_map(
+                lambda x0b: self._run_impl(x0b, widths=local),
+                mesh=mesh, in_specs=(P("batch"),), out_specs=P("batch"),
+                check_vma=False)
+            self._run = jax.jit(f)
+        elif mesh is not None:
             in_sharding = NamedSharding(mesh, P("batch", None))
             self._run = jax.jit(self._run_impl, in_shardings=(in_sharding,))
         else:
             self._run = jax.jit(self._run_impl)
 
-    def _run_impl(self, x0_batch):
+    def _run_impl(self, x0_batch, widths=None):
         from morbit_tpu.core.enums import STOP_CODE
 
         solver = self.solver
@@ -395,7 +419,7 @@ class StagedMultistart:
 
         states = jax.vmap(solver.initialize)(x0_batch)
         B = x0_batch.shape[0]
-        widths = self.widths
+        widths = self.widths if widths is None else widths
         order = None  # composed lane permutation (states[i] = orig[order[i]])
 
         def compacted(states, order, w, run):
@@ -496,6 +520,39 @@ def suggest_widths(runner: "StagedMultistart", n_iterations,
     for t in bounds:
         ws.append(width(int((n_iter > t).sum())))
     return tuple(ws)
+
+
+def suggest_schedule(n_iterations, max_iter: int,
+                     n_stages: int = 5) -> tuple:
+    """Derive quantile-spaced stage bounds from a probe fleet's per-lane
+    iteration counts (the schedule-side companion of
+    :func:`suggest_widths`; same probe protocol and the same safety
+    argument — ANY schedule is exact, only the wall-clock varies).
+
+    The default geometric schedule (``max_iter/16, /8, /4, /2``) is built
+    for UNKNOWN retirement; once a probe measured it, two things beat it
+    (measured at the reference budget, two-parabolas B=1024): (a) bounds at
+    evenly spaced retirement QUANTILES track the lane-retirement CDF where
+    it actually bends, and (b) capping the last bound near the p99
+    iteration count makes the to-completion stage (which the geometric
+    default enters at ``max_iter/2``, long after every lane retired) run at
+    its compacted narrow width. Measured: quantile bounds ``(5,10,15,20,
+    26)`` with probe-derived widths reach 42.0k runs/s vs 38.0k for the
+    geometric ``(6,12,25,50)`` (+10%); finer 10-14 stage schedules REGRESS
+    (each extra boundary costs ~0.35 ms of argsort+permute+resize at full
+    batch), so few quantile-placed stages win.
+
+    Returns increasing bounds strictly below ``max_iter``: the quantiles
+    ``i/n_stages`` for ``i = 1..n_stages-1`` plus a p99 cap bound,
+    deduplicated. Feed to ``StagedMultistart(schedule=...)``, then derive
+    ``widths`` for it with :func:`suggest_widths`.
+    """
+    import numpy as _np
+
+    ni = _np.asarray(n_iterations)
+    qs = [(i + 1) / n_stages for i in range(n_stages - 1)] + [0.99]
+    bounds = sorted({int(_np.quantile(ni, q)) for q in qs})
+    return tuple(t for t in bounds if 0 < t < max_iter)
 
 
 def staged_multistart(mop, x0_batch,

@@ -40,17 +40,25 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
     x0 = jnp.asarray(halton_starts(batch, mop.lb, mop.ub), dtype)
+    schedule = None
 
     if widths == "auto":
         # probe protocol (suggest_widths docstring): one plain staged fleet
-        # measures the per-lane iteration CDF, the widths runner is rebuilt
-        # from it. The probe compile is NOT counted in this row's compile
-        # time (a repeated-fleet deployment pays it once, or probes on CPU).
+        # measures the per-lane iteration CDF; schedule bounds AND widths
+        # are rebuilt from it (suggest_schedule: quantile-placed bounds beat
+        # the geometric default ~10% — the p99 cap bound lets the
+        # to-completion stage run narrow). The probe compile is NOT counted
+        # in this row's compile time (a repeated-fleet deployment pays it
+        # once, or probes on CPU).
         from morbit_tpu.parallel.multistart import (StagedMultistart,
+                                                    suggest_schedule,
                                                     suggest_widths)
 
         probe = StagedMultistart(mop, ac, dtype)
-        widths = suggest_widths(probe, probe(x0).n_iterations)
+        n_iter = probe(x0).n_iterations
+        schedule = suggest_schedule(n_iter, max_iter)
+        tmp = StagedMultistart(mop, ac, dtype, schedule=schedule)
+        widths = suggest_widths(tmp, n_iter, quantum=32)
 
     def _slim_res(res, traj):
         traj_alive = jax.tree_util.tree_map(jnp.sum, traj)
@@ -64,7 +72,8 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
         # tunnel (CLAUDE.md)
         from morbit_tpu.parallel.multistart import StagedMultistart
 
-        runner = StagedMultistart(mop, ac, dtype, widths=widths)
+        runner = StagedMultistart(mop, ac, dtype, schedule=schedule,
+                                  widths=widths)
 
         def slim_batch(x0b):
             res = runner._run_impl(x0b)
@@ -105,9 +114,9 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
         "config": {"max_iter": max_iter, "qp_iters": qp_iters,
                    "batch": batch, "dtype": "float32",
                    "runner": ("StagedMultistart (staged-capacity, "
-                              f"probe-derived lane-compaction widths="
-                              f"{widths}, exact: ints bit-identical, "
-                              "floats to reassociation)"
+                              f"probe-derived lane-compaction schedule="
+                              f"{schedule} widths={widths}, exact: ints "
+                              "bit-identical, floats to reassociation)"
                               if staged and widths is not None else
                               "StagedMultistart (staged-capacity, bit-exact)"
                               if staged else "plain vmapped"),
