@@ -477,6 +477,31 @@ class StagedMultistart:
                 x0_batch, NamedSharding(self.mesh, P("batch", None)))
         return self._run(x0_batch)
 
+    def tuned(self, n_iterations, n_stages: int = 5, quantum: int = 32,
+              slack: float = 1.1) -> "StagedMultistart":
+        """Probe-protocol convenience: a compaction-tuned clone of this
+        runner from a probe fleet's per-lane iteration counts.
+
+        .. code-block:: python
+
+            probe = StagedMultistart(mop, ac)
+            res = probe(x0)                  # a full, exact result
+            runner = probe.tuned(res.n_iterations)   # for repeated fleets
+
+        Combines :func:`suggest_schedule` (quantile-placed stage bounds)
+        and :func:`suggest_widths` (per-stage lane-compaction widths).
+        Exact for any probe (see the class docstring); pays one extra
+        compile, so it's for REPEATED fleets — measured 42.0k vs 18.4k
+        runs/s over the plain staged runner at the reference-default
+        budget (bench_points_r3.json). Mesh, dtype, and fleet mode carry
+        over (with ``mesh``, compaction runs per shard)."""
+        cmop, ac = self.solver.mop, self.solver.ac
+        sched = suggest_schedule(n_iterations, ac.max_iter, n_stages)
+        tmp = StagedMultistart(cmop, ac, self.dtype, schedule=sched)
+        ws = suggest_widths(tmp, n_iterations, slack=slack, quantum=quantum)
+        return StagedMultistart(cmop, ac, self.dtype, schedule=sched,
+                                widths=ws, mesh=self.mesh)
+
 
 def suggest_widths(runner: "StagedMultistart", n_iterations,
                    slack: float = 1.1, quantum: int = 64,

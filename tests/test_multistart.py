@@ -465,10 +465,12 @@ def test_suggest_schedule():
     x0 = halton_starts(8, mop.lb, mop.ub)
     probe = StagedMultistart(mop, ac, dtype=jnp.float64)
     res = probe(x0)
-    sched = suggest_schedule(res.n_iterations, ac.max_iter, n_stages=3)
-    tmp = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=sched)
-    ws = suggest_widths(tmp, res.n_iterations, quantum=2)
-    run = StagedMultistart(mop, ac, dtype=jnp.float64, schedule=sched,
-                           widths=ws)
+    # .tuned() = suggest_schedule + suggest_widths + rebuild in one call
+    run = probe.tuned(res.n_iterations, n_stages=3, quantum=2)
+    assert run.widths is not None and run.widths[0] == 8
+    # constructor merges same-capacity stages, so the kept bounds are a
+    # subset of the suggested ones
+    assert set(t for t, _ in run.schedule) <= set(suggest_schedule(
+        res.n_iterations, ac.max_iter, n_stages=3))
     ref = multistart_optimize(mop, x0, ac, dtype=jnp.float64)
     _assert_canon_close(run(x0), ref)
