@@ -442,12 +442,27 @@ class Solver:
             m_i, _ = self.container.eval_nl_ineq(groups, x_n_s, scal)
             parts_Ai.append(Dm_i)
             parts_bi.append(-m_i - Dm_i @ n_step)
-        return LinearizedConstraints(
-            A_eq=jnp.concatenate(parts_Ae, axis=0),
-            b_eq=jnp.concatenate(parts_be),
-            A_ineq=jnp.concatenate(parts_Ai, axis=0),
-            b_ineq=jnp.concatenate(parts_bi),
-        )
+
+        def equilibrate(Arows, rhs):
+            # Ruiz-style row equilibration (a mathematical no-op): OSQP —
+            # the reference's LP backend (``globals.jl:13``) — scales the
+            # problem data by default (Stellato et al. 2020, §5.1); our
+            # fixed-budget ADMM inherits its sensitivity to row scale, and
+            # constraint rows whose inf-norm is far from the unit
+            # box/descent rows stall it (measured: an [8, 8] row from
+            # unit-cube scaling of x1+x2<=1 on a [-4,4]^2 box left the
+            # descent LP at omega=1.122 vs the true 1.105 at qp_iters=400;
+            # exact after equilibration — tests/test_oracle_parity.py).
+            r = jnp.max(jnp.abs(Arows), axis=1)
+            r = jnp.where(r > 0, r, 1.0)
+            return Arows / r[:, None], rhs / r
+
+        A_eq, b_eq = equilibrate(jnp.concatenate(parts_Ae, axis=0),
+                                 jnp.concatenate(parts_be))
+        A_ineq, b_ineq = equilibrate(jnp.concatenate(parts_Ai, axis=0),
+                                     jnp.concatenate(parts_bi))
+        return LinearizedConstraints(A_eq=A_eq, b_eq=b_eq,
+                                     A_ineq=A_ineq, b_ineq=b_ineq)
 
     def _get_criticality(self, groups, x_s, x_n_s, l_e_n, l_i_n, fx_n, delta,
                          scal):

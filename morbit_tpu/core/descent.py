@@ -347,10 +347,25 @@ def normal_step(
     qv, l, u = bounds(variable_radius)
     sol = solve_qp(P, qv, A, l, u, iters=qp_iters, exit_eps=qp_exit_eps)
 
-    feasible = sol.status_ok
     n_step = sol.z[:n]
     # clip tiny box violations (``descent.jl:756``)
     n_step = jnp.clip(x + n_step, lb, ub) - x
+    # explicit post-clip feasibility test against the constraint rows — the
+    # stand-in for OSQP's primal-infeasibility certificate (Stellato et al.
+    # 2020 §3.4; JuMP surfaces it as LOCALLY_INFEASIBLE, ``descent.jl:750``).
+    # solve_qp's own status threshold is deliberately loose (ADMM noise) and
+    # an infeasible LP lets ADMM spread the violation across the box rows
+    # below it; the clip concentrates the true geometric violation in the
+    # (row-equilibrated, unit-norm) constraint rows where a much tighter
+    # threshold is safe (polished feasible solves sit at ~1e-9).
+    feas_tol = 10.0 * jnp.sqrt(jnp.asarray(
+        1e-6 if jnp.finfo(dtype).bits <= 32 else 1e-8, dtype))
+    viol = jnp.asarray(0.0, dtype)
+    if p:
+        viol = jnp.maximum(viol, jnp.max(jnp.abs(lin.A_eq @ n_step - lin.b_eq)))
+    if q:
+        viol = jnp.maximum(viol, jnp.max(lin.A_ineq @ n_step - lin.b_ineq))
+    feasible = sol.status_ok & (viol <= feas_tol)
     n_step = jnp.where(feasible, n_step, jnp.nan)
     delta_out = jnp.where(variable_radius, sol.z[n + 1], delta)
     return n_step, delta_out, feasible
