@@ -635,7 +635,8 @@ class Solver:
         # dummy filter (no nonlinear constraints) carries NO buffers through
         # the solve loop — zero-capacity arrays are free
         filt = flt.init_filter(
-            0 if self.filter_mode == "dummy" else self.ac.filter_capacity,
+            0 if self.filter_mode == "dummy"
+            else self.ac.resolved_filter_capacity(),
             self.f_dim, dtype)
 
         T = self.T

@@ -83,8 +83,14 @@ class AlgorithmConfig:
     filter_kappa_delta: float = 0.7
     filter_kappa_mu: float = 100.0
     filter_mu: float = 0.01
-    # capacity of the fixed-shape on-device filter (new: static shape bound)
-    filter_capacity: int = 64
+    # capacity of the fixed-shape on-device filter (new: static shape
+    # bound). <= 0 means "auto": the reference filter is unbounded
+    # (``FilterImplementation.jl``) but gains at most one entry per
+    # iteration (``algorithm.jl:875-877`` FILTER_ADD, plus one on entering
+    # restoration, ``:470-471``), so ``max_iter + 2`` rows lose nothing.
+    # An explicit undersized capacity raises ``FilterState.overflow``
+    # instead of silently weakening acceptability.
+    filter_capacity: int = -1
 
     # --- variable scaling (":92-94"): 'default' | 'none' | 'auto'
     var_scaler: str = "default"
@@ -146,6 +152,17 @@ class AlgorithmConfig:
         if self.max_evals < 2 ** 30:
             cap = min(cap, int(self.max_evals) + max_model_points + self.max_iter + 8)
         return max(cap, 4 * (n_vars + 2))
+
+    def resolved_filter_capacity(self) -> int:
+        """Filter row capacity: explicit value, else ``max_iter + 2`` (the
+        filter gains <= 1 entry per iteration — FILTER_ADD at
+        ``algorithm.jl:875-877`` or the restoration-entry insert at
+        ``:470-471`` — so this bound makes overflow unreachable and the
+        fixed-capacity filter exactly equivalent to the reference's
+        unbounded one)."""
+        if self.filter_capacity > 0:
+            return self.filter_capacity
+        return self.max_iter + 2
 
     def resolved_trajectory_capacity(self) -> int:
         if self.trajectory_capacity > 0:

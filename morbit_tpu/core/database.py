@@ -36,15 +36,22 @@ class Database:
 
     data: jax.Array   # (cap, n + m + 1): [sites | values | evaluated-flag]
     count: jax.Array  # int32 fill counter
+    # True once an insert was DROPPED because the database was full: the
+    # reference ``ArrayDB`` is append-only and unbounded, so a dropped row
+    # means the model silently trains on fewer points than the reference
+    # would. ``resolved_db_capacity`` sizes the buffer so this is
+    # unreachable by default; an explicit undersized ``db_capacity``
+    # surfaces here (and in the final report) instead of failing silently.
+    overflow: jax.Array  # bool
     n: int
     m: int
 
     def tree_flatten(self):
-        return (self.data, self.count), (self.n, self.m)
+        return (self.data, self.count, self.overflow), (self.n, self.m)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], children[2], aux[0], aux[1])
 
     # ---- read-only views (the pre-packing field API)
     @property
@@ -70,6 +77,7 @@ def init_database(cap: int, n: int, m: int, dtype) -> Database:
     return Database(
         data=jnp.zeros((cap, n + m + 1), dtype),
         count=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(False),
         n=n, m=m,
     )
 
@@ -100,7 +108,9 @@ def add_site(db: Database, x: jax.Array, do_add=True) -> tuple[Database, jax.Arr
     row = _row(db, x, jnp.zeros((db.m,), db.data.dtype), 0.0)
     data = _onehot_write(db.data, db.count, row, ok)
     count = jnp.where(ok, db.count + 1, db.count)
-    return dataclasses.replace(db, data=data, count=count), idx
+    overflow = db.overflow | (jnp.asarray(do_add) & (db.count >= cap))
+    return dataclasses.replace(db, data=data, count=count,
+                               overflow=overflow), idx
 
 
 def _onehot_write(data, slot, row, ok):
@@ -126,7 +136,9 @@ def add_evaluated(db: Database, x: jax.Array, y: jax.Array, do_add=True) -> tupl
     row = _row(db, x, y, 1.0)
     data = _onehot_write(db.data, db.count, row, ok)
     count = jnp.where(ok, db.count + 1, db.count)
-    return dataclasses.replace(db, data=data, count=count), idx
+    overflow = db.overflow | (jnp.asarray(do_add) & (db.count >= cap))
+    return dataclasses.replace(db, data=data, count=count,
+                               overflow=overflow), idx
 
 
 def eval_missing(

@@ -45,9 +45,14 @@ class SteepestDescentConfig:
 class PascolettiSerafiniConfig:
     """``PascolettiSerafiniConfig`` (``descent.jl:323-349``).
 
-    The NLopt :GN_ISRES global stage is replaced by batched random search over
-    the local box + projected-gradient polish on the smooth surrogate
-    scalarization (SURVEY.md §7 step 10)."""
+    The NLopt :GN_ISRES global stage is replaced by a deterministic Halton
+    sweep over the local box; the optional local polish
+    (``ps_polish_algo``) by projected-gradient refinement on the smooth
+    surrogate scalarization (SURVEY.md §7 step 10). ``ps_polish`` is the
+    ``ps_polish_algo`` analogue: the polish stage is OFF by default, like
+    the reference's ``ps_polish_algo = nothing``. ``n_samples`` /
+    ``polish_iters`` are repo-native overrides of the resolved grid/polish
+    budgets (negative = use the reference mapping)."""
 
     reference_point: tuple = ()
     reference_direction: tuple = ()
@@ -55,38 +60,50 @@ class PascolettiSerafiniConfig:
     max_ps_problem_evals: int = -1
     max_ps_polish_evals: int = -1
     max_ideal_point_problem_evals: int = -1
-    n_samples: int = 256
-    polish_iters: int = 50
+    ps_polish: bool = False
+    n_samples: int = -1
+    polish_iters: int = -1
 
 
 def ps_subsolver_budgets(cfg: PascolettiSerafiniConfig, n_vars: int):
     """Resolve the PS subsolver sample/polish budgets.
 
     Mirrors ``_ps_max_evals`` (``descent.jl:414-432``) and the ideal-point
-    budget (``descent.jl:527``): an explicit ``max_ps_problem_evals`` is
-    split 3/4 grid-sweep ("global stage") / 1/4 PGA refinement ("polish"),
-    unless ``max_ps_polish_evals`` overrides the polish share; the
-    ideal-point solves get their own ``max_ideal_point_problem_evals``.
-    Negative caps keep the repo defaults (``n_samples``/``polish_iters``).
-    Returns ``(ps_grid, ps_polish, ideal_grid, ideal_polish)``."""
-    if cfg.max_ps_problem_evals >= 0:
-        total = max(cfg.max_ps_problem_evals, 2)
-        if cfg.max_ps_polish_evals >= 0:
-            ps_grid, ps_polish = total, cfg.max_ps_polish_evals
-        else:
-            ps_grid = max(total * 3 // 4, 1)
-            ps_polish = total - ps_grid
+    budget (``descent.jl:527``) with the REFERENCE defaults: total budget
+    ``500 * (n_vars + 1)`` (or an explicit ``max_ps_problem_evals``), all of
+    it on the global stage unless polish is opted into (``ps_polish`` — the
+    ``ps_polish_algo`` analogue; setting ``max_ps_polish_evals`` or
+    ``polish_iters`` implies it). With polish on, the split is 3/4 global /
+    1/4 polish unless ``max_ps_polish_evals`` keeps the full total for the
+    sweep and caps the polish separately. The per-objective ideal-point
+    solves run their own ``500 * (n_vars + 1)`` (or
+    ``max_ideal_point_problem_evals``) global-only budget (``:527-536``).
+    ``n_samples``/``polish_iters`` override the resolved grid/polish sizes
+    directly. Returns ``(ps_grid, ps_polish, ideal_grid, ideal_polish)``."""
+    ref_total = 500 * (n_vars + 1)
+    polish_on = (cfg.ps_polish or cfg.max_ps_polish_evals >= 0
+                 or cfg.polish_iters >= 0)
+    explicit_polish = (cfg.max_ps_polish_evals if cfg.max_ps_polish_evals >= 0
+                       else cfg.polish_iters)
+
+    total = (cfg.max_ps_problem_evals if cfg.max_ps_problem_evals >= 0
+             else (cfg.n_samples if cfg.n_samples >= 0 else ref_total))
+    if not polish_on:
+        ps_grid, ps_polish = total, 0
+    elif explicit_polish >= 0:
+        ps_grid, ps_polish = total, explicit_polish
     else:
-        ps_grid = cfg.n_samples
-        ps_polish = (cfg.max_ps_polish_evals if cfg.max_ps_polish_evals >= 0
-                     else cfg.polish_iters)
+        ps_grid = max(total * 3 // 4, 1)
+        ps_polish = total - ps_grid
+
     if cfg.max_ideal_point_problem_evals >= 0:
-        total = max(cfg.max_ideal_point_problem_evals, 2)
-        ideal_grid = max(total * 3 // 4, 1)
-        ideal_polish = total - ideal_grid
+        # reference ideal-point solves are single-stage global
+        # (``reference_algo``, no polish)
+        ideal_grid, ideal_polish = cfg.max_ideal_point_problem_evals, 0
     else:
-        ideal_grid, ideal_polish = cfg.n_samples, cfg.polish_iters
-    return ps_grid, ps_polish, ideal_grid, ideal_polish
+        ideal_grid = cfg.n_samples if cfg.n_samples >= 0 else ref_total
+        ideal_polish = cfg.polish_iters if cfg.polish_iters >= 0 else 0
+    return max(ps_grid, 1), ps_polish, max(ideal_grid, 1), ideal_polish
 
 
 def resolve_descent_config(spec):
@@ -358,6 +375,17 @@ def normal_step(
     # below it; the clip concentrates the true geometric violation in the
     # (row-equilibrated, unit-norm) constraint rows where a much tighter
     # threshold is safe (polished feasible solves sit at ~1e-9).
+    # Two DOCUMENTED deviations from the reference (advisor round 3):
+    # (a) the threshold is calibrated for the polished default budget
+    #     (``qp_iters >= ~100`` with ``qp_polish``): a user-lowered budget
+    #     can leave a feasible-but-unconverged solve above it and report
+    #     INFEASIBLE where OSQP's certificate would not — keep the default
+    #     budget on constrained problems;
+    # (b) the test runs on the POST-clip step: the reference checks solver
+    #     status before its box projection (``descent.jl:750-757``); testing
+    #     pre-clip would let ADMM hide an infeasible LP's violation in the
+    #     box rows, so post-clip is the load-bearing choice (oracle-locked:
+    #     tests/test_oracle_parity.py "lin-infeasible-exit").
     feas_tol = 10.0 * jnp.sqrt(jnp.asarray(
         1e-6 if jnp.finfo(dtype).bits <= 32 else 1e-8, dtype))
     viol = jnp.asarray(0.0, dtype)

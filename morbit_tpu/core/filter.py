@@ -22,6 +22,14 @@ class FilterState(NamedTuple):
     theta: jax.Array  # (cap,)
     fvals: jax.Array  # (cap, f_dim)
     count: jax.Array  # int32
+    # True once an insert was DROPPED because the fixed-capacity buffer was
+    # full: the reference filter is unbounded (``FilterImplementation.jl``),
+    # so a dropped entry weakens acceptability vs the reference — the
+    # default capacity (``resolved_filter_capacity``: max_iter + 2, a filter
+    # gains <= 1 entry per iteration, ``algorithm.jl:875-877``) makes this
+    # unreachable, but an explicit undersized ``filter_capacity`` surfaces
+    # here instead of failing silently.
+    overflow: jax.Array  # bool
 
 
 def init_filter(cap: int, f_dim: int, dtype) -> FilterState:
@@ -29,6 +37,7 @@ def init_filter(cap: int, f_dim: int, dtype) -> FilterState:
         theta=jnp.zeros((cap,), dtype),
         fvals=jnp.zeros((cap, f_dim), dtype),
         count=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(False),
     )
 
 
@@ -69,6 +78,7 @@ def add_entry(filt: FilterState, theta_k, f_k, shift) -> FilterState:
         theta=jnp.where(hit, theta, filt.theta),
         fvals=jnp.where(hit[:, None], f[None, :], filt.fvals),
         count=jnp.where(ok, filt.count + 1, filt.count),
+        overflow=filt.overflow | ~ok,
     )
 
 

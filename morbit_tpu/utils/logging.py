@@ -42,6 +42,33 @@ def print_report(result, verbosity: int = 1, out=print):
     out("| final unscaled vectors:")
     out(f"| iterate: {_fmt_vec(result.x, 10)}")
     out(f"| value:   {_fmt_vec(result.fx, 10)}")
+    for line in overflow_warnings(result.state):
+        out(f"| WARNING: {line}")
+
+
+def overflow_warnings(state):
+    """Capacity-overflow warnings for a solver state (empty list if none).
+
+    The reference's ``ArrayDB`` and filter are unbounded; the fixed-capacity
+    TPU buffers raise sticky overflow flags instead of silently dropping
+    writes (``Database.overflow``, ``FilterState.overflow``)."""
+    import numpy as np
+
+    lines = []
+    for gi, g in enumerate(state.groups):
+        if bool(np.any(np.asarray(g.db.overflow))):
+            lines.append(
+                f"group {gi} database overflowed its capacity "
+                f"({g.db.data.shape[-2]} rows): model training sets are "
+                "missing dropped points — raise db_capacity / use the "
+                "auto heuristic")
+    if bool(np.any(np.asarray(state.filter.overflow))):
+        lines.append(
+            f"filter overflowed its capacity "
+            f"({state.filter.theta.shape[-1]} rows): acceptability tests "
+            "are weaker than the reference's unbounded filter — raise "
+            "filter_capacity / use the auto (max_iter + 2) default")
+    return lines
 
 
 def trajectory_arrays(result):

@@ -23,10 +23,12 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the suite is dominated by XLA compiles on
 # this 1-core host; cached executables cut reruns dramatically
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from morbit_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

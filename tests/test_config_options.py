@@ -79,29 +79,44 @@ def test_ps_subsolver_budgets_resolution():
     """``_ps_max_evals`` mapping (``descent.jl:414-432,527``)."""
     from morbit_tpu.core.descent import ps_subsolver_budgets
 
-    # defaults: repo sample/polish budgets pass through
-    cfg = PascolettiSerafiniConfig(n_samples=64, polish_iters=20)
-    assert ps_subsolver_budgets(cfg, 2) == (64, 20, 64, 20)
-    # explicit total: 3/4 global sweep, 1/4 polish
+    # REFERENCE defaults (``descent.jl:414-432,527``): total 500*(n+1),
+    # all global (``ps_polish_algo = nothing`` -> no polish), ideal-point
+    # solves 500*(n+1) global-only
+    cfg = PascolettiSerafiniConfig()
+    assert ps_subsolver_budgets(cfg, 2) == (1500, 0, 1500, 0)
+    assert ps_subsolver_budgets(cfg, 5) == (3000, 0, 3000, 0)
+    # explicit total, polish off (reference: global = MAX_EVALS, local = 0)
     cfg = PascolettiSerafiniConfig(max_ps_problem_evals=100)
+    g, p, ig, ip = ps_subsolver_budgets(cfg, 2)
+    assert (g, p) == (100, 0) and (ig, ip) == (1500, 0)
+    # polish opted in (ps_polish_algo analogue): 3/4 global, 1/4 polish
+    cfg = PascolettiSerafiniConfig(max_ps_problem_evals=100, ps_polish=True)
     g, p, _, _ = ps_subsolver_budgets(cfg, 2)
     assert (g, p) == (75, 25)
-    # polish override keeps the full total for the sweep
+    # polish-evals override keeps the full total for the sweep
     cfg = PascolettiSerafiniConfig(max_ps_problem_evals=100,
                                    max_ps_polish_evals=10)
     g, p, _, _ = ps_subsolver_budgets(cfg, 2)
     assert (g, p) == (100, 10)
-    # ideal-point cap is independent
+    # repo-native grid/polish overrides pass through
+    cfg = PascolettiSerafiniConfig(n_samples=64, polish_iters=20)
+    assert ps_subsolver_budgets(cfg, 2) == (64, 20, 64, 20)
+    # explicit ideal-point cap wins and is global-only like the reference
     cfg = PascolettiSerafiniConfig(max_ideal_point_problem_evals=40,
                                    n_samples=64, polish_iters=20)
     g, p, ig, ip = ps_subsolver_budgets(cfg, 2)
-    assert (g, p) == (64, 20) and (ig, ip) == (30, 10)
+    assert (g, p) == (64, 20) and (ig, ip) == (40, 0)
 
 
 def test_ps_with_eval_caps_end_to_end():
-    """PS descent honors the subsolver eval caps and still solves."""
+    """PS descent honors the subsolver eval caps and still solves.
+
+    ``ps_polish=True`` opts into the 3/4 grid + 1/4 PGA-polish split (the
+    ``ps_polish_algo`` analogue) — at 80 total evals a pure grid sweep is
+    too coarse for the quality assertion below."""
     cfg = PascolettiSerafiniConfig(max_ps_problem_evals=80,
-                                   max_ideal_point_problem_evals=60)
+                                   max_ideal_point_problem_evals=60,
+                                   ps_polish=True)
     mop = MOP([-4.0, -4.0], [4.0, 4.0])
     rcfg = RbfConfig(kernel="multiquadric")
     mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=rcfg)

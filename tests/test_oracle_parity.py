@@ -129,6 +129,7 @@ def test_oracle_parity(label):
         assert a.shape == b.shape
         fin_a, fin_b = np.isfinite(a), np.isfinite(b)
         assert np.array_equal(fin_a, fin_b), name
-        assert np.array_equal(a[~fin_a], b[~fin_b]), name  # same +-inf stamps
+        # same +-inf stamps (equal_nan: a NaN stamped on both sides matches)
+        assert np.array_equal(a[~fin_a], b[~fin_b], equal_nan=True), name
         err = float(np.max(np.abs(a[fin_a] - b[fin_b]), initial=0.0))
         assert err <= tol, (name, err)
