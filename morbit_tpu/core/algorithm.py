@@ -1574,7 +1574,10 @@ class Solver:
             def eval_mx_batch(groups, X, k_used):
                 if X is not None:
                     return self.container.eval_objectives_batch(groups, X, scal), groups
-                return None, self.container.charge_evals(groups, k_used)
+                # objectives_only: the sequential Armijo loop evaluates only
+                # the objective surrogates (``descent.jl:150-185``)
+                return None, self.container.charge_evals(groups, k_used,
+                                                         objectives_only=True)
 
             x_trial_s, mx_trial_bt, step, groups = backtrack(
                 x_n_s, d, sigma, omega, eval_mx, groups, self.desc_cfg,

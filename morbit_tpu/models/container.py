@@ -350,13 +350,23 @@ class SurrogateContainer:
         """(K, m_obj) model objective values at a batch of sites, uncounted."""
         return jax.vmap(lambda xq: self.eval_objectives_raw(states, xq, scal))(X)
 
-    def charge_evals(self, states, k):
-        """Add ``k`` true-function evals to every exact-model group (used by
-        the batched backtracking to charge what the reference's sequential
-        loop would have evaluated)."""
+    def charge_evals(self, states, k, objectives_only: bool = False):
+        """Add ``k`` true-function evals to exact-model groups (used by the
+        batched backtracking / PS sweeps to charge what the reference's
+        sequential loop would have evaluated).
+
+        ``objectives_only``: the reference's Armijo backtracking evaluates
+        ONLY the container objectives (``_backtrack``,
+        ``descent.jl:150-185`` via
+        ``eval_container_objectives_at_scaled_site``), so an exact-model
+        group serving only NL constraints must not be charged there
+        (round-4 oracle finding — the unconditional charge overcounted
+        those groups' budgets). PS subsolver sweeps evaluate the constraint
+        surrogates too (NLopt constraint handles fire every iteration,
+        ``descent.jl:478-510``), so they charge all counting groups."""
         out = []
-        for ops, st in zip(self.ops, states):
-            if ops.counts_on_eval:
+        for g, ops, st in zip(self.mop.groups, self.ops, states):
+            if ops.counts_on_eval and (g.has_objective or not objectives_only):
                 st = st._replace(n_evals=st.n_evals + jnp.asarray(k, jnp.int32))
             out.append(st)
         return tuple(out)

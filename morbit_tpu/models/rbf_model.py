@@ -252,7 +252,15 @@ class RbfOps(SurrogateOps):
         super().__init__(group, n_vars, dtype, ac, scal)
         cfg = self.cfg
         self.max_points = cfg.resolved_max_points(n_vars)
-        self.cap_train = n_vars + 1 + max(0, self.max_points - (n_vars + 1))
+        # training-buffer capacity: rounds 1-4 fill at most
+        # ``max(max_points, n+1)`` rows, and up to ``n`` improvement steps
+        # (one per remaining improving direction, ``RbfModel.jl:699-732``)
+        # may APPEND before the next prepare resets the set — the reference
+        # has no cap there, and a buffer sized to max_points alone made the
+        # improve insert silently OVERWRITE the last training row once full
+        # (round-4 full-oracle finding: divergence on the first
+        # MODELIMPROVING iteration with max_model_points = n+1)
+        self.cap_train = max(self.max_points, n_vars + 1) + n_vars
         self.train_stamp_len = self.cap_train + 1
         self.eval_window = n_vars + 1 + (
             10 * self.max_points if cfg.use_max_points else 0)

@@ -167,9 +167,29 @@ def solve_qp(
     anchor = jnp.asarray(0.0, dtype) * A[0, 0] if m else jnp.asarray(0.0, dtype)
     P = P + anchor
     q = q + anchor
+    # ---- row equilibration (OSQP scales its problem data by default,
+    # Stellato et al. 2020 §5.1 — a mathematical no-op on the solution).
+    # The fixed-budget ADMM STALLS on mixed-scale constraint rows: the
+    # steepest-descent LP pairs rows of inf-norm ~50 (model-Jacobian rows
+    # [Dm_i, -||Dm_i||]) with unit box rows, and the raw splitting loop
+    # leaves pr ~ 5e-2 even at 4000 iterations while the polish then reads
+    # noisy duals and picks an over-determined active set (round-4 full
+    # oracle finding; repro: tools/repro_qp_equilibrate.py). Dividing each
+    # row by its inf-norm makes the same loop converge to machine
+    # precision. Classification for the per-row penalty (_rho_vec) uses
+    # the ORIGINAL bounds; the returned dual is scaled back.
+    if m:
+        r_eq = jnp.max(jnp.abs(A), axis=1)
+        r_eq = jnp.where(r_eq > 0, r_eq, 1.0)
+    else:
+        r_eq = jnp.ones((0,), dtype)
+    rho_v0_src = (l, u)
+    A = A / r_eq[:, None] if m else A
+    l = l / r_eq
+    u = u / r_eq
     # pin the problem data: in-graph-constructed constraint blocks otherwise
     # lower to a pathologically slow splitting loop (measured ~600x on v5e)
-    P, q, A, l, u = jax.lax.optimization_barrier((P, q, A, l, u))
+    P, q, A, l, u, r_eq = jax.lax.optimization_barrier((P, q, A, l, u, r_eq))
     f32 = jnp.finfo(dtype).bits <= 32
     if sigma is None:
         sigma = 1e-4 if f32 else 1e-6
@@ -189,7 +209,10 @@ def solve_qp(
     z0 = jnp.zeros(n, dtype)
     zz0 = jnp.clip(jnp.zeros(m, dtype), l, u)
     y0 = jnp.zeros(m, dtype)
-    rho_v0 = _rho_vec(l, u, jnp.asarray(rho, dtype), dtype)
+    # row classification (eq / loose) from the ORIGINAL bounds — the
+    # equilibration must not flip a row's penalty class
+    rho_v0 = _rho_vec(rho_v0_src[0], rho_v0_src[1], jnp.asarray(rho, dtype),
+                      dtype)
 
     n_stages = max(1, iters // adapt_every)
     if exit_eps is None:
@@ -248,6 +271,9 @@ def solve_qp(
     dual_res = jnp.max(jnp.abs(P @ z + q + A.T @ y))
     obj = 0.5 * z @ (P @ z) + q @ z
     ok = (prim_res <= 1e3 * eps ** 0.5) & jnp.all(jnp.isfinite(z))
+    # dual back in the caller's (unequilibrated) row scale: the scaled
+    # problem's stationarity A_s' y_s = A' (y_s / r)
+    y = y / r_eq if m else y
     return QPSolution(z, y, obj, prim_res, dual_res, ok)
 
 

@@ -46,7 +46,13 @@ MODEL_CFGS = {
 
 DESCENTS = {
     "steepest_descent": "steepest_descent",
-    "ps": lambda: PascolettiSerafiniConfig(n_samples=128, polish_iters=25),
+    # reference-default PS budgets (``_ps_max_evals``: 500*(n+1) global-only,
+    # ``descent.jl:414-432``) — round-4 budget-parity change
+    "ps": lambda: PascolettiSerafiniConfig(),
+    # repo-native cheap PS variant (round-2/3 artifact rows used this class
+    # of override)
+    "ps_small": lambda: PascolettiSerafiniConfig(n_samples=128,
+                                                 polish_iters=25),
 }
 
 
@@ -114,7 +120,8 @@ def _default_config(setting: Setting, **overrides) -> AlgorithmConfig:
 
 
 def perform_test(setting: Setting, dtype=jnp.float32, mesh=None,
-                 steady_state: bool = False, **cfg_overrides):
+                 steady_state: bool = False, staged: bool = False,
+                 **cfg_overrides):
     """Run one settings group: multistart over Halton starting points.
 
     Returns a dict of observation arrays (one row per start). ``wall_s``
@@ -122,7 +129,10 @@ def perform_test(setting: Setting, dtype=jnp.float32, mesh=None,
     ``steady_state=True`` a second call on a DISTINCT start batch of the
     same shape is timed separately (``steady_state_s`` /
     ``steady_runs_per_sec``) — repeat-identical calls would hit the device
-    result cache and lie (CLAUDE.md perf notes), so fresh starts are used."""
+    result cache and lie (CLAUDE.md perf notes), so fresh starts are used.
+    ``staged=True`` runs the staged-capacity ``StagedMultistart`` runner
+    (bit-exact vs the plain vmapped solve; the round-3/4 production
+    configuration)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mop = make_problem(setting.problem, setting.n_vars, setting.model)
@@ -130,15 +140,24 @@ def perform_test(setting: Setting, dtype=jnp.float32, mesh=None,
     n_s = setting.n_starts
     x0_all = halton_starts(n_s * (2 if steady_state else 1), mop.lb, mop.ub)
 
-    solver = build_solver(mop, ac, dtype)
-    run = jax.vmap(solver.solve)
     x0_all = jnp.asarray(x0_all, dtype)
-    if mesh is not None:
+    if staged:
+        from morbit_tpu.parallel.multistart import StagedMultistart
+
+        runner = StagedMultistart(mop, ac, dtype)
+        run = jax.jit(lambda xb: runner._run_impl(xb))
+        if mesh is not None:
+            sh = NamedSharding(mesh, P("batch", None))
+            x0_all = jax.device_put(x0_all, sh)
+    elif mesh is not None:
+        solver = build_solver(mop, ac, dtype)
+        run = jax.vmap(solver.solve)
         sh = NamedSharding(mesh, P("batch", None))
         run = jax.jit(run, in_shardings=(sh,))
         x0_all = jax.device_put(x0_all, sh)
     else:
-        run = jax.jit(run)
+        solver = build_solver(mop, ac, dtype)
+        run = jax.jit(jax.vmap(solver.solve))
 
     t0 = time.perf_counter()
     res = run(x0_all[:n_s])
@@ -174,7 +193,8 @@ def perform_test(setting: Setting, dtype=jnp.float32, mesh=None,
 
 def run_benchmarks(settings, save_path: Optional[str] = None, resume: bool = True,
                    dtype=jnp.float32, mesh=None, verbose: bool = True,
-                   steady_state: bool = False, **cfg_overrides):
+                   steady_state: bool = False, staged: bool = False,
+                   **cfg_overrides):
     """Run all settings groups with incremental JSON saving and resume."""
     results = {}
     if save_path and resume and os.path.exists(save_path):
@@ -188,7 +208,8 @@ def run_benchmarks(settings, save_path: Optional[str] = None, resume: bool = Tru
             continue
         try:
             obs = perform_test(s, dtype=dtype, mesh=mesh,
-                               steady_state=steady_state, **cfg_overrides)
+                               steady_state=steady_state, staged=staged,
+                               **cfg_overrides)
             results[s.key] = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                               for k, v in obs.items()}
             if verbose:
