@@ -507,7 +507,15 @@ class RbfOps(SurrogateOps):
             X_all = jnp.concatenate([db.X, rand_pts], axis=0)
             cand_all = jnp.concatenate([cand, jnp.ones((n_rand,), bool)])
 
-        init_sites, _ = dbm.get_rows(db, idx)
+        # round-4 working-set bound: the routine starts from the rounds-1-3
+        # set (count <= n+1 here) and accepts until ``max_points`` total, so
+        # its (maxN, maxN) QR/Cholesky state needs only
+        # ``max(max_points, n+1)`` rows — NOT the improve-append room that
+        # ``cap_train`` additionally reserves (passing the full cap_train
+        # buffer grew the fused round-4 kernel quadratically: 63.0k -> 46.6k
+        # runs/s at the bench config, measured round 4)
+        r4_cap = max(self.max_points, self.n_vars + 1)
+        init_sites, _ = dbm.get_rows(db, idx[:r4_cap])
         param = self._resolve_param(ctx.delta)
         # scan only the first max_candidates rows (matching run_round4's
         # ``max_candidates`` bound) and route through the fused-kernel
