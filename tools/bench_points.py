@@ -9,7 +9,7 @@ run style) — with the compile time split out, and pairs each with its
 measured single-core CPU denominators (float64 and the dtype-matched
 float32) from ``baseline_measurement.json``.
 
-Writes ``bench_points_r3.json``.
+Writes ``bench_points_r4.json``.
 
 Run on the TPU tunnel:  python tools/bench_points.py
 """
@@ -131,6 +131,9 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
 
 
 def main():
+    from morbit_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     root = pathlib.Path(__file__).resolve().parent.parent
     meas = json.loads((root / "baseline_measurement.json").read_text())
 
@@ -186,7 +189,7 @@ def main():
                 "tests/test_multistart.py::test_staged_widths_match_plain)",
         **rows,
     }
-    (root / "bench_points_r3.json").write_text(json.dumps(out, indent=2) + "\n")
+    (root / "bench_points_r4.json").write_text(json.dumps(out, indent=2) + "\n")
 
 
 if __name__ == "__main__":
