@@ -74,3 +74,53 @@ def test_zdt1_lagrange_front_quality():
     assert np.min(fe) < 0.01
     assert np.median(evals) <= 35
     assert np.max(evals) <= 60
+
+
+def _run_ps(name, model_cfg, n_starts=8, **ac_kw):
+    """PS-descent variant at the REFERENCE default subsolver budgets
+    (``_ps_max_evals``: 500*(n+1) global-only, ``descent.jl:414-432``)."""
+    from morbit_tpu.core.descent import PascolettiSerafiniConfig
+
+    mop = make_zdt(name, 5, model_cfg=model_cfg)
+    ac = AlgorithmConfig(max_iter=25, max_evals=1000 * 5,
+                         descent_method=PascolettiSerafiniConfig(), **ac_kw)
+    res = multistart_optimize(mop, halton_starts(n_starts, mop.lb, mop.ub),
+                              ac, dtype=jnp.float64)
+    return np.asarray(res.fx), np.asarray(res.n_evals)
+
+
+def test_zdt1_rbf_ps_front_quality():
+    """PS + RBF on ZDT1 (round-4 grid addition): PS takes small in-box
+    scalarization steps and stops on the 1e-3 tolerance well before the
+    front at this budget — distinctly weaker front error than steepest
+    descent but with very few true evaluations (observed: front err
+    min 0.283 / med 0.564; evals min 9 / med 13 / max 23)."""
+    fx, evals = _run_ps("zdt1", RbfConfig(kernel="cubic"),
+                        f_tol_rel=1e-3, x_tol_rel=1e-3)
+    fe = _front_err("zdt1", fx)
+    assert np.min(fe) < 0.5
+    assert np.median(fe) < 1.0
+    assert np.median(evals) <= 30
+    assert np.max(evals) <= 60
+
+
+def test_zdt2_rbf_ps_front_quality():
+    """PS + RBF on ZDT2 (observed: min 0.401 / med 0.749; evals max 25)."""
+    fx, evals = _run_ps("zdt2", RbfConfig(kernel="cubic"),
+                        f_tol_rel=1e-3, x_tol_rel=1e-3)
+    fe = _front_err("zdt2", fx)
+    assert np.min(fe) < 0.65
+    assert np.median(fe) < 1.2
+    assert np.max(evals) <= 60
+
+
+def test_zdt1_taylor_ps_eval_envelope():
+    """PS + Taylor-1 pays the per-iteration stencil on top of the PS
+    charges (observed: front err min 0.283; evals min 33 / med 55 /
+    max 88)."""
+    fx, evals = _run_ps("zdt1", TaylorConfig(degree=1, mode="fd"),
+                        f_tol_rel=1e-3, x_tol_rel=1e-3)
+    fe = _front_err("zdt1", fx)
+    assert np.min(fe) < 0.5
+    assert np.median(evals) <= 110
+    assert np.max(evals) <= 150
