@@ -115,8 +115,10 @@ def _taylor_case(degree, **kw):
     return make, kw
 
 
-def _nl_case(con, x0, require=(), **kw):
-    """Exact objectives + one exact NL inequality constraint group."""
+def _nl_case(con, x0, require=(), lin=False, **kw):
+    """Exact objectives + one exact NL inequality constraint group;
+    ``lin=True`` adds the linear row x1 + x2 <= 1 (mixed-row descent /
+    normal-step LPs — BASELINE config-4 problem class)."""
     cons = {
         "ball": (lambda x: jnp.sum(x ** 2) - 2.25,
                  lambda x: np.array([np.sum(x ** 2) - 2.25]),
@@ -136,11 +138,16 @@ def _nl_case(con, x0, require=(), **kw):
         mop.add_exact_objective(lambda x: jnp.sum((x - 1.0) ** 2))
         mop.add_exact_objective(lambda x: jnp.sum((x + 1.0) ** 2))
         mop.add_nl_ineq_constraint(cons[0], model_cfg=ExactConfig())
+        if lin:
+            mop.add_ineq_constraint([[1.0, 1.0]], [1.0])
         groups = [GroupSpec(role="obj", m=1, F=F1, J=J1),
                   GroupSpec(role="obj", m=1, F=F2, J=J2),
                   GroupSpec(role="nl_ineq", m=1, F=cons[1], J=cons[2])]
         return mop, groups, [-4.0, -4.0], [4.0, 4.0], np.asarray(x0, float)
     kw["_require"] = require
+    if lin:
+        kw["A_ineq"] = [[1.0, 1.0]]
+        kw["b_ineq"] = [1.0]
     return make, kw
 
 
@@ -191,6 +198,10 @@ CASES = {
                                require=("FILTER_ADD", "FILTER_FAIL")),
     "nl-filter-mix": _nl_case("sine", [2.0, 3.5], max_iter=10, tol=1e-9,
                               require=("RESTORATION", "FILTER_ADD")),
+    # linear + NL rows mixed into the descent/normal-step LPs (BASELINE
+    # config-4 problem class)
+    "nl-lin-mix": _nl_case("ball", [-3.0, 2.5], max_iter=25, lin=True,
+                           tol=1e-12, require=("RESTORATION",)),
     # ---- Pascoletti-Serafini, reference-default budgets (500*(n+1) grid)
     "ps-refdir": _ps_case(max_iter=4, tol=1e-12, ps=True),
 }
@@ -212,6 +223,9 @@ def test_oracle_full_parity(label):
 
     skw = dict(kw)
     okw = dict(kw)
+    # linear rows ride on the MOP for the solver, on kwargs for the oracle
+    skw.pop("A_ineq", None)
+    skw.pop("b_ineq", None)
     if is_ps:
         from morbit_tpu.core.descent import PascolettiSerafiniConfig
 
