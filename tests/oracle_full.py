@@ -344,6 +344,12 @@ class GroupSpec:
     taylor_degree: int = 2
     fd_stamp: str = "cfd1"
     fd_h: float = 0.001
+    # lagrange params (``LagrangeConfig`` mirror)
+    lag_degree: int = 2
+    lag_theta_enlarge: float = 2.0
+    lambda_poise: float = 1.5
+    ascent_restarts: int = 8
+    ascent_iters: int = 40
 
 
 class GroupState:
@@ -369,6 +375,16 @@ class GroupState:
         if spec.kind == "taylor":
             self.O, self.G, self.Hc = build_stencil(
                 n, spec.taylor_degree, spec.fd_stamp)
+        if spec.kind == "lagrange":
+            self.E = lag_exponents(n, spec.lag_degree)
+            self.p = self.E.shape[0]
+            self.grid = halton(min(50 * n, 512), n)
+            self.zero_tol = float(min(np.finfo(np.float64).eps * 100,
+                                      np.finfo(np.float16).eps * 10))
+            self.lag_B = np.eye(self.p)
+            self.lag_coef = None
+            self.lag_lb = np.zeros(n)
+            self.lag_ub = np.ones(n)
 
     # ---- true function in scaled coordinates
     def F_scaled(self, xs):
@@ -395,6 +411,9 @@ class GroupState:
             return self.F_scaled(xs)
         if k == "rbf":
             return self.fit.eval(xs)
+        if k == "lagrange":
+            u = (xs - self.lag_lb) / (self.lag_ub - self.lag_lb)
+            return self.lag_coef.T @ lag_phi(self.E, u)
         h = xs - self.t_x0
         out = self.t_fx0 + self.t_g @ h
         if self.spec.taylor_degree >= 2:
@@ -409,6 +428,11 @@ class GroupState:
             return J / self.scale[None, :]
         if k == "rbf":
             return self.fit.jac(xs)
+        if k == "lagrange":
+            w = self.lag_ub - self.lag_lb
+            u = (xs - self.lag_lb) / w
+            # d/dx coef' phi(u) = coef' dphi(u) diag(1/w)
+            return (self.lag_coef.T @ lag_dphi(self.E, u)) / w[None, :]
         if self.spec.taylor_degree >= 2:
             h = xs - self.t_x0
             return self.t_g + 0.5 * np.einsum(
@@ -429,6 +453,9 @@ class GroupState:
                 for i in range(1, sites.shape[0]):
                     idx.append(self.db.add(sites[i]))
                 self.t_site_idx = idx
+            return
+        if sp.kind == "lagrange":
+            self._lag_prepare(xs, x_index, delta)
             return
         # ---- RBF rounds 1-3 (round 4 off)
         n = self.n
@@ -508,11 +535,92 @@ class GroupState:
         self.dirs = dirs[n_new:]
         self.fully_linear = bool(fully_linear)
 
-    def prepare_improve(self, xs, delta):
+    def _lag_prepare(self, xs, x_index, delta):
+        """Poised-set construction: Conn et al. Algorithm 6.2 + 6.3
+        (``get_poised_set`` / ``make_set_lambda_poised``,
+        ``LagrangeModel.jl:217-382``) with the Halton+PGA NLopt
+        replacement."""
+        sp = self.spec
+        p, n = self.p, self.n
+        lb = np.maximum(self.lb_s, xs - delta * sp.lag_theta_enlarge)
+        ub = np.minimum(self.ub_s, xs + delta * sp.lag_theta_enlarge)
+        w = ub - lb
+
+        # candidates: [x; db rows in box (excluding x_index)], unit coords
+        cand_ids = [None]  # slot 0 = x itself (db row x_index)
+        cand_pts = [xs]
+        avail = [True]
+        for i in range(self.db.count):
+            cand_ids.append(i)
+            cand_pts.append(self.db.X[i])
+            avail.append(i != x_index and bool(
+                np.all((self.db.X[i] >= lb) & (self.db.X[i] <= ub))))
+        cand_unit = [(c - lb) / w for c in cand_pts]
+        phis = lag_phi_batch(self.E, np.stack(cand_unit))
+
+        # ---- Algorithm 6.2
+        B = np.eye(p)
+        points = np.zeros((p, n))
+        src = -np.ones(p, dtype=int)
+        for i in range(p):
+            vals = np.abs(phis @ B[i])
+            vals = np.where(avail, vals, -np.inf)
+            j = int(np.argmax(vals))
+            if vals[j] > self.zero_tol:
+                u_new = cand_unit[j]
+                src[i] = x_index if cand_ids[j] is None else cand_ids[j]
+                avail[j] = False
+            else:
+                u_new, _ = lag_maximize_abs(B[i], self.E, self.grid,
+                                            sp.ascent_iters,
+                                            sp.ascent_restarts)
+                src[i] = -1
+            points[i] = u_new
+            B = lag_orthogonalize(self.E, B, u_new, i)
+
+        # ---- Algorithm 6.3 (one swap per pass, <= 2p passes)
+        for _ in range(2 * p):
+            xs_all, vs_all = [], []
+            for i in range(p):
+                x_i, v_i = lag_maximize_abs(
+                    B[i], self.E, self.grid, sp.ascent_iters,
+                    sp.ascent_restarts, extra=points[i][None, :])
+                xs_all.append(x_i)
+                vs_all.append(v_i)
+            exceeds = np.asarray(vs_all) > sp.lambda_poise
+            if not np.any(exceeds):
+                break
+            is_center = src == x_index
+            center_slot = int(np.argmax(is_center))  # first, or 0 if none
+            pri = exceeds & (np.arange(p) != center_slot)
+            i_k = int(np.argmax(pri)) if np.any(pri) else int(
+                np.argmax(exceeds))
+            u_new = xs_all[i_k]
+            B = lag_orthogonalize(self.E, B, u_new, i_k)
+            points[i_k] = u_new
+            src[i_k] = -1
+
+        # ---- consume points (``_consume_points``)
+        idx = []
+        for i in range(p):
+            if src[i] < 0:
+                idx.append(self.db.add(lb + w * points[i]))
+            else:
+                idx.append(int(src[i]))
+        self.idx = idx
+        self.lag_B = B
+        self.lag_lb, self.lag_ub = lb, ub
+        self.fully_linear = True
+
+    def prepare_improve(self, xs, x_index, delta):
         """One site along the next improving direction
         (``prepare_improve_model``): the direction is consumed before the
-        pivot test."""
+        pivot test. Lagrange improve = re-prepare with fully-linear
+        enforcement (``LagrangeOps.prepare_improve``)."""
         sp = self.spec
+        if sp.kind == "lagrange":
+            self._lag_prepare(xs, x_index, delta)
+            return
         if sp.kind != "rbf" or self.fully_linear or not self.dirs:
             return
         delta_1 = sp.theta_e1 * delta
@@ -538,6 +646,9 @@ class GroupState:
             param = (sp.shape_param if sp.shape_param is not None
                      else RBF_DEFAULT_PARAM[sp.kernel])
             self.fit = rbf_fit(sites, values, sp.kernel, param, sp.poly_deg)
+        elif sp.kind == "lagrange":
+            Y = np.stack([self.db.Y[i] for i in self.idx])
+            self.lag_coef = self.lag_B.T @ Y
         elif sp.kind == "taylor":
             moved = self.t_x0 is None or not np.array_equal(xs, self.t_x0)
             if moved:
@@ -791,7 +902,7 @@ def solve_oracle_full(
         """``update_or_improve`` two-phase (prepare -> eval_missing -> fit)."""
         for g, xi in zip(G, x_idx):
             if improve:
-                g.prepare_improve(xs, delta)
+                g.prepare_improve(xs, xi, delta)
             else:
                 g.prepare(xs, xi, delta, efl, eval_cap)
         for g, xi in zip(G, x_idx):
@@ -1300,3 +1411,80 @@ def solve_oracle_full(
     R.n_iterations = iter_counter - 1
     R.group_evals = [g.n_evals for g in G]
     return R
+
+
+# ================================================================== Lagrange
+def lag_exponents(n, degree):
+    """Monomial exponent rows in degree-ascending order
+    (``non_negative_ineq_solutions``, ``LagrangeModel.jl:163-166``)."""
+    import itertools
+    rows = []
+    for d in range(degree + 1):
+        for combo in itertools.combinations_with_replacement(range(n), d):
+            e = np.zeros(n, dtype=int)
+            for i in combo:
+                e[i] += 1
+            rows.append(e)
+    return np.stack(rows)
+
+
+def lag_phi(E, u):
+    terms = np.where(E == 0, 1.0, np.where(E == 1, u[None, :],
+                                           u[None, :] * u[None, :]))
+    return np.prod(terms, axis=1)
+
+
+def lag_dphi(E, u):
+    """(p, n) derivative of the monomial vector (degree <= 2)."""
+    p, n = E.shape
+    out = np.zeros((p, n))
+    for j in range(n):
+        dterm = np.where(E[:, j] == 0, 0.0,
+                         np.where(E[:, j] == 1, 1.0, 2.0 * u[j]))
+        others = np.where(E == 0, 1.0, np.where(E == 1, u[None, :],
+                                                u[None, :] * u[None, :]))
+        others = others.copy()
+        others[:, j] = 1.0
+        out[:, j] = dterm * np.prod(others, axis=1)
+    return out
+
+
+def lag_maximize_abs(b_row, E, grid, iters, n_starts, extra=None):
+    """max |b @ phi(u)| over [0,1]^n — grid sweep + top-k multistart PGA
+    (the ``maximize_in_box`` mirror: monotone accept, eta *= 1.5 / 0.5)."""
+    pts = grid if extra is None else np.concatenate([extra, grid])
+    vals = np.abs(lag_phi_batch(E, pts) @ b_row)
+    k = min(max(n_starts, 1), pts.shape[0])
+    order = np.argsort(-vals, kind="stable")[:k]
+    X = pts[order].copy()
+    F = vals[order].copy()
+    eta = np.full(k, 0.1)          # step0 * width, width = 1
+    for _ in range(iters):
+        for s in range(k):
+            v = lag_phi(E, X[s]) @ b_row
+            g = np.sign(v) * (lag_dphi(E, X[s]).T @ b_row)
+            x_try = np.clip(X[s] + eta[s] * g, 0.0, 1.0)
+            f_try = abs(lag_phi(E, x_try) @ b_row)
+            if f_try > F[s]:
+                X[s], F[s] = x_try, f_try
+                eta[s] *= 1.5
+            else:
+                eta[s] *= 0.5
+    best = int(np.argmax(F))
+    return X[best], F[best]
+
+
+def lag_phi_batch(E, U):
+    return np.stack([lag_phi(E, u) for u in U])
+
+
+def lag_orthogonalize(E, B, u, i):
+    """Normalize row i at u, sweep out of the others
+    (``orthogonalize_polys``, ``LagrangeModel.jl:184-190``)."""
+    phi = lag_phi(E, u)
+    vals = B @ phi
+    denom = vals[i] if abs(vals[i]) > 0 else 1.0
+    bi = B[i] / denom
+    B = B - np.outer(vals, bi)
+    B[i] = bi
+    return B

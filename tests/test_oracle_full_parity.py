@@ -100,6 +100,23 @@ def _rbf3_case(**kw):
     return make, kw
 
 
+def _lagrange_case(degree, **kw):
+    def make():
+        from morbit_tpu.models.configs import LagrangeConfig
+
+        cfg = LagrangeConfig(degree=degree)
+        mop = MOP([-4.0, -4.0], [4.0, 4.0])
+        mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+        mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+        F = lambda x: np.array([np.sum((x - 1.0) ** 2),
+                                np.sum((x + 1.0) ** 2)])
+        J = lambda x: np.stack([2.0 * (x - 1.0), 2.0 * (x + 1.0)])
+        groups = [GroupSpec(role="obj", m=2, F=F, J=J, kind="lagrange",
+                            lag_degree=degree)]
+        return mop, groups, [-4.0, -4.0], [4.0, 4.0], np.array([-3.0, 2.5])
+    return make, kw
+
+
 def _taylor_case(degree, **kw):
     def make():
         cfg = TaylorConfig(degree=degree, mode="fd")
@@ -184,6 +201,13 @@ CASES = {
     "rbf-critical": _rbf_case("multiquadric", max_iter=30, f_tol_rel=0.0,
                               x_tol_rel=0.0, tol=5e-2,
                               tol_overrides={"rho": 1.5}),
+    # ---- Lagrange poised sets (Algorithms 6.2/6.3 + Halton/PGA NLopt
+    # replacement). Degree 2 stays candidate-driven on this run (no PGA
+    # point enters the model) and locks exactly; degree-1 trajectories are
+    # PGA-position-chaotic at the ulp level (B @ phi summation-order
+    # differences steer 320 greedy accepts) — covered instead by the
+    # component-level test_lagrange_poised_set_parity below.
+    "lagrange-2": _lagrange_case(2, max_iter=8, tol=1e-9),
     # ---- Taylor finite-difference stencils through the database
     "taylor-fd2": _taylor_case(2, max_iter=8, tol=1e-9),
     "taylor-fd1": _taylor_case(1, max_iter=12, tol=1e-9),
@@ -258,3 +282,68 @@ def test_oracle_full_parity(label):
         assert np.array_equal(a[~fin_a], b[~fin_b], equal_nan=True), name
         err = float(np.max(np.abs(a[fin_a] - b[fin_b]), initial=0.0))
         assert err <= tol_overrides.get(name, tol), (name, err)
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_lagrange_poised_set_parity(degree):
+    """Component-level Lagrange lock: given IDENTICAL database states, the
+    jitted poised-set construction (Algorithm 6.2 candidate sweep +
+    Algorithm 6.3 Lambda swaps + the Halton/PGA polynomial maximization)
+    produces the same point sources and the same new sites as the
+    sequential NumPy mirror. Full deg-1 trajectories are ulp-chaotic (the
+    PGA's greedy accepts flip on summation-order differences), so the
+    construction is locked at the component level for both degrees."""
+    import jax
+
+    from morbit_tpu.core import database as dbm
+    from morbit_tpu.core.algorithm import Solver
+    from morbit_tpu.core.config import AlgorithmConfig
+    from morbit_tpu.core.mop import compile_mop
+    from morbit_tpu.models.base import ModelContext
+    from morbit_tpu.models.configs import LagrangeConfig
+    from tests.oracle_full import GroupState
+
+    cfg = LagrangeConfig(degree=degree)
+    mop = MOP([-4.0, -4.0], [4.0, 4.0])
+    mop.add_objective(lambda x: jnp.sum((x - 1.0) ** 2), model_cfg=cfg)
+    mop.add_objective(lambda x: jnp.sum((x + 1.0) ** 2), model_cfg=cfg)
+    solver = Solver(compile_mop(mop), AlgorithmConfig(max_iter=8),
+                    jnp.float64)
+    ops = solver.container.ops[0]
+
+    Fs = lambda xs: np.array([np.sum(((xs - 0.5) * 8 - 1.0) ** 2),
+                              np.sum(((xs - 0.5) * 8 + 1.0) ** 2)])
+    rows = np.array([[0.125, 0.8125], [0.0, 0.76559062],
+                     [0.325, 0.63642166], [0.325, 1.0],
+                     [0.225, 0.71964286], [0.51, 0.52]])
+    db = dbm.init_database(solver.db_capacity, 2, 2, jnp.float64)
+    for r in rows:
+        db, _ = dbm.add_evaluated(db, jnp.asarray(r), jnp.asarray(Fs(r)))
+    x = jnp.asarray(rows[4])
+    ctx = ModelContext(x_s=x, x_index=jnp.asarray(4, jnp.int32),
+                       delta=jnp.asarray(0.2),
+                       n_evals=jnp.asarray(6, jnp.int32), scal=solver.scal,
+                       key=jax.random.PRNGKey(0))
+    st, db2 = ops.prepare(ops.init_state(), db, ctx, False)
+    repo_idx = np.asarray(st.idx).tolist()
+    repo_new = np.asarray(db2.X)[len(rows):int(db2.count)]
+
+    g = GroupState(
+        GroupSpec(role="obj", m=2,
+                  F=lambda x: np.array([np.sum((x - 1.0) ** 2),
+                                        np.sum((x + 1.0) ** 2)]),
+                  J=lambda x: np.stack([2 * (x - 1.0), 2 * (x + 1.0)]),
+                  kind="lagrange", lag_degree=degree),
+        2, np.zeros(2), np.ones(2), np.full(2, 1 / 8), np.full(2, 0.5), 0.5)
+    for r in rows:
+        g.db.add(r, Fs(r))
+    g._lag_prepare(np.asarray(rows[4]), 4, 0.2)
+
+    assert g.idx == repo_idx
+    orc_new = np.array([g.db.X[i] for i in range(len(rows), g.db.count)])
+    assert orc_new.shape == repo_new.shape
+    if orc_new.size:
+        # point SOURCES are exact; PGA-generated positions converge to the
+        # same local maxima but through ulp-different greedy step paths
+        # (measured 2.9e-9 at degree 2, exact at degree 1)
+        assert float(np.max(np.abs(orc_new - repo_new))) <= 1e-6
