@@ -168,6 +168,30 @@ def _nl_case(con, x0, require=(), lin=False, **kw):
     return make, kw
 
 
+def _nl_rbf_constraint_case(**kw):
+    """Exact objectives + an RBF-MODELED NL inequality constraint group:
+    the normal-step / descent-LP rows come from the constraint SURROGATE's
+    Jacobian while theta and restoration use the true values — the one NL
+    path the exact-model configs cannot reach."""
+    def make():
+        F1, J1, F2, J2 = _obj_specs()
+        ccfg = RbfConfig(kernel="multiquadric", max_model_points=3)
+        mop = MOP([-4.0, -4.0], [4.0, 4.0])
+        mop.add_exact_objective(lambda x: jnp.sum((x - 1.0) ** 2))
+        mop.add_exact_objective(lambda x: jnp.sum((x + 1.0) ** 2))
+        mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) - 2.25,
+                                   model_cfg=ccfg)
+        Fc = lambda x: np.array([np.sum(x ** 2) - 2.25])
+        Jc = lambda x: (2.0 * x)[None, :]
+        groups = [GroupSpec(role="obj", m=1, F=F1, J=J1),
+                  GroupSpec(role="obj", m=1, F=F2, J=J2),
+                  GroupSpec(role="nl_ineq", m=1, F=Fc, J=Jc, kind="rbf",
+                            kernel="multiquadric")]
+        return mop, groups, [-4.0, -4.0], [4.0, 4.0], np.array([-3.0, 2.5])
+    kw["_require"] = ("RESTORATION",)
+    return make, kw
+
+
 def _ps_case(**kw):
     def make():
         F1, J1, F2, J2 = _obj_specs()
@@ -226,8 +250,14 @@ CASES = {
     # config-4 problem class)
     "nl-lin-mix": _nl_case("ball", [-3.0, 2.5], max_iter=25, lin=True,
                            tol=1e-12, require=("RESTORATION",)),
+    # surrogate-MODELED NL constraint (RBF group feeding the linearized
+    # rows; theta/restoration on true values)
+    "nl-rbf-constraint": _nl_rbf_constraint_case(max_iter=20, tol=1e-12),
     # ---- Pascoletti-Serafini, reference-default budgets (500*(n+1) grid)
     "ps-refdir": _ps_case(max_iter=4, tol=1e-12, ps=True),
+    # no reference direction -> per-objective local ideal-point solves and
+    # their m_obj * 500*(n+1) charges (``descent.jl:527-536``)
+    "ps-ideal-point": _ps_case(max_iter=3, tol=1e-12, ps="ideal"),
 }
 
 IT_NAMES = {0: "ACCEPTABLE", 1: "SUCCESSFULL", 2: "MODELIMPROVING",
@@ -253,9 +283,13 @@ def test_oracle_full_parity(label):
     if is_ps:
         from morbit_tpu.core.descent import PascolettiSerafiniConfig
 
-        skw["descent_method"] = PascolettiSerafiniConfig(
-            reference_direction=(1.0, 1.0))
-        okw.update(descent="ps", ps_reference_direction=(1.0, 1.0))
+        if is_ps == "ideal":
+            skw["descent_method"] = PascolettiSerafiniConfig()
+            okw.update(descent="ps")
+        else:
+            skw["descent_method"] = PascolettiSerafiniConfig(
+                reference_direction=(1.0, 1.0))
+            okw.update(descent="ps", ps_reference_direction=(1.0, 1.0))
 
     res = optimize(mop, jnp.asarray(x0), dtype=jnp.float64, **skw)
     tr = trajectory_arrays(res)
