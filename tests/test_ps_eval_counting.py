@@ -74,3 +74,16 @@ def test_ps_budget_exhaustion_halts_run():
     assert int(res.stop_code) == int(STOP_CODE.BUDGET_EXHAUSTED)
     assert int(res.n_evals) >= 150
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_ps_reference_default_budgets_charge():
+    """REFERENCE defaults (round-4 budget parity, ``descent.jl:414-432,
+    527``): one PS criticality solve at n=2 charges exactly the 500*(n+1)
+    global sweep plus m_obj ideal-point solves of the same size — no
+    polish."""
+    ps = PascolettiSerafiniConfig()
+    g_grid, g_pol, i_grid, i_pol = ps_subsolver_budgets(ps, 2)
+    assert (g_grid, g_pol, i_grid, i_pol) == (1500, 0, 1500, 0)
+    deltas, solver = _charge_delta(ps, ExactConfig())
+    expected = 1500 + solver.mop.m_obj * 1500
+    assert all(d == expected for d in deltas)
