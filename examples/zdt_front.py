@@ -34,7 +34,9 @@ mop = make_zdt("zdt3", N_VARS)  # exact objectives (cheap analytic problem)
 
 # Pascoletti-Serafini toward the ideal point (the reference example passes
 # ``reference_point = get_ideal_point(...)``; ZDT3's ideal is ~(0, -0.773)).
-ps = PascolettiSerafiniConfig(reference_point=(0.0, -0.8))
+# n_samples keeps this walkthrough snappy; dropping it uses the
+# reference-default 500*(n+1)-point global sweep (docs/guide.md)
+ps = PascolettiSerafiniConfig(reference_point=(0.0, -0.8), n_samples=256)
 ac = AlgorithmConfig(descent_method=ps, max_iter=20, qp_iters=100)
 
 x0 = halton_starts(N_STARTS, mop.lb, mop.ub)
