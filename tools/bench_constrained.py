@@ -3,7 +3,7 @@
 Measures multistart throughput with the full constrained machinery active
 (normal step QP + NL linearizations + filter + restoration paths) —
 evidence for the round-2 masked-normal-step restructure. Writes
-``bench_constrained_r2.json``.
+``bench_constrained_r4.json``.
 
 Run:  python tools/bench_constrained.py
 """
@@ -68,7 +68,7 @@ def main():
         "sec_per_batch": round(dt, 4),
     }
     pathlib.Path(__file__).resolve().parent.parent.joinpath(
-        "bench_constrained_r2.json").write_text(json.dumps(rec, indent=2) + "\n")
+        "bench_constrained_r4.json").write_text(json.dumps(rec, indent=2) + "\n")
     print(json.dumps(rec))
 
 
