@@ -350,6 +350,17 @@ class GroupSpec:
     lambda_poise: float = 1.5
     ascent_restarts: int = 8
     ascent_iters: int = 40
+    # composite outers (``CompositeVecFun``, ``VecFun.jl:13-98``): tuple of
+    # (outer, douter_dx, douter_dg, m_out) — the group's F is then an INNER
+    # function (db stores inner values of width ``m``) and its role-vector
+    # contribution is the concatenated outer outputs
+    # phi(x_unscaled, inner_vals)
+    outers: tuple = ()
+
+    @property
+    def role_m(self):
+        """Width this group contributes to its role vector."""
+        return sum(o[3] for o in self.outers) if self.outers else self.m
 
 
 class GroupState:
@@ -792,6 +803,9 @@ class OracleResult:
     traj_steplength: list
     traj_it_stat: list
     traj_x_index: list
+    # per-group [(scaled_site, values), ...] snapshots for ``populated_db``
+    # recycling into a follow-up solve (``algorithm.jl:286-297``)
+    dbs: list = dataclasses.field(default_factory=list)
 
 
 # ==================================================================== solver
@@ -814,34 +828,59 @@ def solve_oracle_full(
         omega_tol_rel=10 * SQRT_EPS_F32, delta_tol_rel=SQRT_EPS_F32,
         omega_tol_abs=-np.inf, delta_tol_abs=SQRT_EPS_F32,
         stepnorm_tol_abs=0.0,
+        radius_update_method="standard",
+        var_scaler_update="none",
+        populated_db=None,
         ps_n_samples=None) -> OracleResult:
     """Sequential full-scope reference solve. ``groups`` is a list of
     :class:`GroupSpec` (objective groups first, in registration order —
-    matching ``compile_mop`` group order)."""
+    matching ``compile_mop`` group order).
+
+    ``radius_update_method``: 'standard' | 'steplength'
+    (``do_radius_update``, ``algorithm.jl:140-196``).
+    ``var_scaler_update``: 'none' | 'model' — per-iteration Jacobian-based
+    rescaling + database retransform (``new_var_scaler``,
+    ``VarScaler.jl:240-260``; ``algorithm.jl:661-679``).
+    ``populated_db``: per-group list of (scaled_site, values) rows recycled
+    from a previous run on the same problem/scaler (``algorithm.jl:286-297``;
+    eval counters start at zero, ``reset_evals!``)."""
     lb = np.asarray(lb, float)
     ub = np.asarray(ub, float)
     n = lb.shape[0]
-    scale = 1.0 / (ub - lb)
-    offset = -lb * scale
-    lb_s, ub_s = np.zeros(n), np.ones(n)
+    all_finite = bool(np.all(np.isfinite(lb)) and np.all(np.isfinite(ub)))
+    if all_finite:  # unit-cube scaling (``VarScaler.jl:205-213``)
+        scale = 1.0 / (ub - lb)
+        offset = -lb * scale
+        lb_s, ub_s = np.zeros(n), np.ones(n)
+    else:  # NoVarScaling (``VarScaler.jl:62-89``)
+        scale = np.ones(n)
+        offset = np.zeros(n)
+        lb_s, ub_s = lb.copy(), ub.copy()
     to_s = lambda x: scale * x + offset
     from_s = lambda xs: (xs - offset) / scale
 
-    if A_ineq is not None:
-        A_s = np.asarray(A_ineq, float) / scale[None, :]
-        b_s = np.asarray(b_ineq, float) + A_s @ offset
-    else:
-        A_s = np.zeros((0, n))
-        b_s = np.zeros(0)
+    def lin_rows_scaled():
+        """``transformed_linear_constraints`` under the CURRENT scaler."""
+        if A_ineq is None:
+            return np.zeros((0, n)), np.zeros(0)
+        A = np.asarray(A_ineq, float) / scale[None, :]
+        return A, np.asarray(b_ineq, float) + A @ offset
+
+    A_s, b_s = lin_rows_scaled()
     q_lin = A_s.shape[0]
     l_i_at = lambda xs: A_s @ xs - b_s
 
     G = [GroupState(sp, n, lb_s, ub_s, scale, offset, delta_max)
          for sp in groups]
+    if populated_db is not None:
+        for g, rows in zip(G, populated_db):
+            for xr, yr in rows:
+                g.db.add(np.asarray(xr, float),
+                         None if yr is None else np.asarray(yr, float))
     obj_groups = [g for g in G if g.spec.role == "obj"]
     ci_groups = [g for g in G if g.spec.role == "nl_ineq"]
     ce_groups = [g for g in G if g.spec.role == "nl_eq"]
-    m_obj = sum(g.spec.m for g in obj_groups)
+    m_obj = sum(g.spec.role_m for g in obj_groups)
     m_ci = sum(g.spec.m for g in ci_groups)
     m_ce = sum(g.spec.m for g in ce_groups)
     has_nl = m_ci + m_ce > 0
@@ -856,14 +895,25 @@ def solve_oracle_full(
     def cat(parts, width):
         return (np.concatenate(parts) if parts else np.zeros(width))
 
+    def apply_outers(g, vals, xu):
+        """Composite role-vector entries: phi(x_unscaled, inner_vals)
+        (``scatter_role_vectors`` + ``CompositeSurrogate``)."""
+        if not g.spec.outers:
+            return vals
+        return np.concatenate(
+            [np.atleast_1d(np.asarray(out(xu, vals), float))
+             for out, _, _, _ in g.spec.outers])
+
     def evaluate_true_all(xs):
         """One counted true evaluation + db insert per group."""
         fx, ce, ci, idx = [], [], [], []
+        xu = from_s(xs)
         for g in G:
             vals, i = g.evaluate_true(xs)
             idx.append(i)
             (fx if g.spec.role == "obj" else
-             ce if g.spec.role == "nl_eq" else ci).append(vals)
+             ce if g.spec.role == "nl_eq" else ci).append(
+                 apply_outers(g, vals, xu) if g.spec.role == "obj" else vals)
         return (cat(fx, m_obj), cat(ce, m_ce), cat(ci, m_ci), idx)
 
     # ---- model-space role vectors
@@ -872,12 +922,28 @@ def solve_oracle_full(
         for g in obj_groups:
             if counted and g.spec.kind == "exact":
                 g.n_evals += 1
-            out.append(g.model_eval(xs))
+            out.append(apply_outers(g, g.model_eval(xs), from_s(xs)))
         return cat(out, m_obj)
 
     def model_obj_jac(xs):
-        return (np.concatenate([g.model_jac(xs) for g in obj_groups])
-                if obj_groups else np.zeros((0, n)))
+        parts = []
+        for g in obj_groups:
+            Jm = g.model_jac(xs)
+            if not g.spec.outers:
+                parts.append(Jm)
+                continue
+            # chain rule of ``CompositeSurrogate``
+            # (``AbstractSurrogateInterface.jl:193-229``):
+            # d/dxs phi(untransform(xs), m(xs))
+            #   = dphi/dx * diag(1/scale) + dphi/dg @ Jm
+            xu = from_s(xs)
+            mv = g.model_eval(xs)
+            for _, dphi_dx, dphi_dg, _ in g.spec.outers:
+                parts.append(
+                    np.atleast_2d(np.asarray(dphi_dx(xu, mv), float))
+                    / scale[None, :]
+                    + np.atleast_2d(np.asarray(dphi_dg(xu, mv), float)) @ Jm)
+        return np.concatenate(parts) if parts else np.zeros((0, n))
 
     def model_nl(xs, role_groups, width):
         return cat([g.model_eval(xs) for g in role_groups], width)
@@ -953,7 +1019,9 @@ def solve_oracle_full(
         vals, i = g.ensure_evaluated(x_s)
         x_idx.append(i)
         (fx if g.spec.role == "obj" else
-         c_e if g.spec.role == "nl_eq" else c_i).append(vals)
+         c_e if g.spec.role == "nl_eq" else c_i).append(
+             apply_outers(g, vals, from_s(x_s))
+             if g.spec.role == "obj" else vals)
     fx = cat(fx, m_obj)
     c_e = cat(c_e, m_ce)
     c_i = cat(c_i, m_ci)
@@ -1157,6 +1225,56 @@ def solve_oracle_full(
         iter_counter += 1
         return INFEASIBLE
 
+    # --------------------------------------------- :model scaler update
+    def rescale_model():
+        """Mirror of ``Solver._rescale_model``: estimate new per-coordinate
+        factors from the stacked model Jacobian (objectives, nl_eq,
+        nl_ineq — ``container.jac_all`` order), retransform every database
+        and the iterate (``new_var_scaler``, ``VarScaler.jl:240-260``;
+        ``algorithm.jl:661-679``)."""
+        nonlocal scale, offset, lb_s, ub_s, A_s, b_s, x_s, l_i
+        parts = [model_obj_jac(x_s)]
+        if m_ce:
+            parts.append(model_nl_jac(x_s, ce_groups, m_ce))
+        if m_ci:
+            parts.append(model_nl_jac(x_s, ci_groups, m_ci))
+        # Jf ~ Jm diag(scale_old) (chain rule back to unscaled x)
+        J = np.concatenate(parts) * scale[None, :]
+        w = ub - lb
+        bounded = np.isfinite(w)
+        target = (np.mean(np.abs(J[:, bounded] / w[bounded][None, :]),
+                          axis=1) if bounded.any() else None)
+        factors = np.empty(n)
+        for j in range(n):
+            if bounded[j]:
+                factors[j] = 1.0 / w[j]
+                continue
+            col = J[:, j]
+            nz = col != 0
+            nnz = int(nz.sum())
+            safe = np.where(nz, np.abs(col), 1.0)
+            log_t = 0.0
+            if target is not None:
+                safe_t = np.where(nz & (target != 0), np.abs(target), 1.0)
+                log_t = float(np.sum(np.log(safe_t)))
+            exp_arg = -float(np.sum(np.log(safe))) + log_t
+            factors[j] = (np.exp(exp_arg / max(nnz, 1)) if nnz > 0 else 1.0)
+        scale_new = np.clip(factors, 1e-8, 1e8)
+        offset_new = np.zeros(n)
+        lb_s_new = scale_new * lb + offset_new
+        ub_s_new = scale_new * ub + offset_new
+        for g in G:
+            for i in range(g.db.count):
+                g.db.X[i] = (((g.db.X[i] - offset) / scale) * scale_new
+                             + offset_new)
+            g.scale, g.offset = scale_new, offset_new
+            g.lb_s, g.ub_s = lb_s_new, ub_s_new
+        scale, offset = scale_new, offset_new
+        lb_s, ub_s = lb_s_new, ub_s_new
+        x_s = to_s(x)
+        A_s, b_s = lin_rows_scaled()
+        l_i = l_i_at(x_s)
+
     # ================================================================= loop
     while stop_code == CONTINUE:
         if iter_counter > max_iter:
@@ -1168,6 +1286,11 @@ def solve_oracle_full(
         if delta <= delta_tol_abs:
             stop_code = TOLERANCE
             break
+
+        # ---- per-iteration :model scaler update, before the surrogate
+        # update and never mid-criticality (``algorithm.jl:661-679``)
+        if var_scaler_update == "model" and iter_counter > 1:
+            rescale_model()
 
         # ---- surrogate update / improve (``algorithm.jl:682-688``)
         if iter_counter > 1:
@@ -1375,12 +1498,21 @@ def solve_oracle_full(
         if it_stat == FILTER_ADD and filt is not None:
             filt.add(theta_t, float(np.max(fx_t)))
 
+        # ``do_radius_update`` (``algorithm.jl:140-196``)
+        if radius_update_method == "standard":
+            grow = min(delta_max, gamma_grow * delta)
+            shrink = delta * gamma_shrink
+            shrink_much = delta * gamma_shrink_much
+        else:  # 'steplength'
+            grow = min(delta_max, (gamma_grow + steplength / delta) * delta)
+            shrink = steplength * gamma_shrink
+            shrink_much = steplength * gamma_shrink_much
         if ru == RU_GROW:
-            delta_new = min(delta_max, gamma_grow * delta)
+            delta_new = grow
         elif ru == RU_SHRINK:
-            delta_new = delta * gamma_shrink
+            delta_new = shrink
         elif ru == RU_SHRINK_MUCH:
-            delta_new = delta * gamma_shrink_much
+            delta_new = shrink_much
         else:
             delta_new = delta
 
@@ -1410,6 +1542,9 @@ def solve_oracle_full(
     R.stop_code = stop_code
     R.n_iterations = iter_counter - 1
     R.group_evals = [g.n_evals for g in G]
+    R.dbs = [[(np.array(xr), (np.array(yr) if ev else None))
+              for xr, yr, ev in zip(g.db.X, g.db.Y, g.db.evaluated)]
+             for g in G]
     return R
 
 

@@ -192,6 +192,36 @@ def _nl_rbf_constraint_case(**kw):
     return make, kw
 
 
+def _composite_case(**kw):
+    """Composite objectives phi(x, g(x)) over ONE shared RBF-modelled inner
+    function (``CompositeVecFun``, ``VecFun.jl:13-98`` + the
+    ``CompositeSurrogate`` chain rule): the surrogate models the INNER
+    function; role-vector values/Jacobians compose the exact outer on top."""
+    def make():
+        cfg = RbfConfig(kernel="cubic", max_model_points=3)
+        mop = MOP([-2.0, -2.0], [2.0, 2.0])
+        gidx = mop.add_function(
+            lambda x: jnp.stack([x[0] - 1.0, x[1] + 1.0]), n_out=2,
+            model_cfg=cfg)
+        mop.add_composite_objective(
+            lambda x, g: jnp.sum(g ** 2) + 0.1 * x[0], gidx)
+        mop.add_composite_objective(
+            lambda x, g: (g[0] - 2.0) ** 2 + g[1] ** 2, gidx)
+        F = lambda x: np.array([x[0] - 1.0, x[1] + 1.0])
+        J = lambda x: np.eye(2)
+        out1 = (lambda x, g: np.array([g[0] ** 2 + g[1] ** 2 + 0.1 * x[0]]),
+                lambda x, g: np.array([[0.1, 0.0]]),
+                lambda x, g: np.array([[2.0 * g[0], 2.0 * g[1]]]), 1)
+        out2 = (lambda x, g: np.array([(g[0] - 2.0) ** 2 + g[1] ** 2]),
+                lambda x, g: np.array([[0.0, 0.0]]),
+                lambda x, g: np.array([[2.0 * (g[0] - 2.0), 2.0 * g[1]]]), 1)
+        groups = [GroupSpec(role="obj", m=2, F=F, J=J, kind="rbf",
+                            kernel="cubic", outers=(out1, out2))]
+        return (mop, groups, [-2.0, -2.0], [2.0, 2.0],
+                np.array([1.5, -1.5]))
+    return make, kw
+
+
 def _ps_case(**kw):
     def make():
         F1, J1, F2, J2 = _obj_specs()
@@ -253,6 +283,19 @@ CASES = {
     # surrogate-MODELED NL constraint (RBF group feeding the linearized
     # rows; theta/restoration on true values)
     "nl-rbf-constraint": _nl_rbf_constraint_case(max_iter=20, tol=1e-12),
+    # ---- round-5 control-path configs (round-4 VERDICT missing item 3)
+    # ':steplength' radius update method (``algorithm.jl:140-196``)
+    "rbf-steplength-ru": _rbf_case("multiquadric", max_iter=12, tol=1e-8,
+                                   radius_update_method="steplength"),
+    # per-iteration :model scaler update + db retransform
+    # (``VarScaler.jl:240-260``, ``algorithm.jl:661-679``)
+    "rbf-scaler-model": _rbf_case("multiquadric", max_iter=10, tol=1e-8,
+                                  var_scaler_update="model"),
+    # composite objectives over a shared RBF inner function (``VecFun.jl``);
+    # tolerances off -> runs into the criticality routine on the composite
+    # Jacobian chain
+    "composite-rbf": _composite_case(max_iter=14, f_tol_rel=0.0,
+                                     x_tol_rel=0.0, tol=1e-8),
     # ---- Pascoletti-Serafini, reference-default budgets (500*(n+1) grid)
     "ps-refdir": _ps_case(max_iter=4, tol=1e-12, ps=True),
     # no reference direction -> per-objective local ideal-point solves and
@@ -292,8 +335,13 @@ def test_oracle_full_parity(label):
             okw.update(descent="ps", ps_reference_direction=(1.0, 1.0))
 
     res = optimize(mop, jnp.asarray(x0), dtype=jnp.float64, **skw)
-    tr = trajectory_arrays(res)
     orc = solve_oracle_full(lb, ub, groups, x0, **okw)
+    _assert_parity(res, orc, tol, tol_overrides, require)
+
+
+def _assert_parity(res, orc, tol, tol_overrides=(), require=()):
+    tol_overrides = dict(tol_overrides)
+    tr = trajectory_arrays(res)
 
     # ---- exact structural parity
     assert int(res.stop_code) == orc.stop_code
@@ -316,6 +364,29 @@ def test_oracle_full_parity(label):
         assert np.array_equal(a[~fin_a], b[~fin_b], equal_nan=True), name
         err = float(np.max(np.abs(a[fin_a] - b[fin_b]), initial=0.0))
         assert err <= tol_overrides.get(name, tol), (name, err)
+
+
+def test_oracle_populated_db_recycling():
+    """``populated_db`` checkpoint/resume (``algorithm.jl:286-297``): a
+    second solve from a DIFFERENT start recycles the first run's evaluation
+    databases (eval counters reset, models rebuilt from the richer data) —
+    locked against the oracle seeded with its own run-1 rows."""
+    make, _ = _rbf_case("multiquadric", max_iter=8)
+    mop, groups, lb, ub, x0 = make()
+
+    res1 = optimize(mop, jnp.asarray(x0), dtype=jnp.float64, max_iter=8)
+    orc1 = solve_oracle_full(lb, ub, groups, x0, max_iter=8)
+    _assert_parity(res1, orc1, 1e-9)
+
+    x0b = np.array([2.0, -3.0])
+    res2 = optimize(mop, jnp.asarray(x0b), dtype=jnp.float64, max_iter=8,
+                    populated_db=res1)
+    orc2 = solve_oracle_full(lb, ub, groups, x0b, max_iter=8,
+                             populated_db=orc1.dbs)
+    # the recycled run must actually see the old data: run-2 group db starts
+    # at run-1's fill, and the x0b row lands AFTER it
+    assert orc2.traj_x_index[0][0] == len(orc1.dbs[0])
+    _assert_parity(res2, orc2, 1e-9)
 
 
 @pytest.mark.parametrize("degree", [1, 2])
