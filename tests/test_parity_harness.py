@@ -32,6 +32,40 @@ def test_export_and_self_parity(tmp_path):
     assert rep["max_x_err"] == 0.0
 
 
+def test_reference_comparator_round_trip(tmp_path):
+    """One-command comparator round trip (tools/compare_reference.py):
+    a synthetic 'exported' document in the Julia exporter's format — built
+    by running OUR solver on the same scenario the exporter encodes — must
+    come back with parity=True, and a perturbed one with parity=False."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_reference",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools" / "compare_reference.py")
+    cr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cr)
+
+    mop, x0, kwargs = cr.build_config("1")
+    res = optimize(mop, jnp.asarray(x0, jnp.float64), dtype=jnp.float64,
+                   **kwargs)
+    doc = export_trajectory(res)
+    # the Julia exporter's extra keys (kept for humans, ignored on compare)
+    doc["config"] = "1"
+    doc["stop_code"] = "TOLERANCE"
+    path = tmp_path / "ref1.json"
+    path.write_text(json.dumps(doc))
+
+    rep = cr.compare_file(str(path))
+    assert rep["parity"] and rep["max_x_err"] == 0.0
+
+    doc["iterates"][1][0] += 1e-6
+    path.write_text(json.dumps(doc))
+    rep2 = cr.compare_file(str(path))
+    assert not rep2["parity"] and rep2["max_x_err"] > 1e-8
+
+
 def test_comparator_detects_divergence():
     res = _run()
     doc = export_trajectory(res)
