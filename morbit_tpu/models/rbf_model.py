@@ -28,12 +28,19 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 from morbit_tpu.core import database as dbm
 from morbit_tpu.models.base import ModelContext, SurrogateOps
+#: PROFILING ONLY (chunked-pricing headroom bound, round-5 roadmap
+#: item 2): clamp the capacity-sized selection/round-4 scans to the
+#: first N db rows. Results are WRONG when the db fills past N —
+#: never set outside profiling runs.
+_SEL_CLAMP = int(os.environ.get("MORBIT_SEL_CLAMP", "0"))
+
 from morbit_tpu.ops.affine import (
     affinely_independent_points,
     improving_directions_from,
@@ -433,9 +440,13 @@ class RbfOps(SurrogateOps):
             else:  # traced per-trip flag (criticality micro-step rebuild)
                 sel_fn = self._selection["traced"]
                 sel_args = (ensure_fully_linear,)
+            X_sel, cnt_sel = db.X, db.count
+            if _SEL_CLAMP:  # PROFILING ONLY: chunked-pricing headroom bound
+                X_sel = db.X[:_SEL_CLAMP]
+                cnt_sel = jnp.minimum(db.count, _SEL_CLAMP)
             (r1_idx, r1_cnt, r2_idx, r2_cnt, sites3, active3, n_new, dirs,
              dirs_count, fully_linear) = sel_fn(
-                db.X, db.count, x, ctx.x_index, delta,
+                X_sel, cnt_sel, x, ctx.x_index, delta,
                 ctx.scal.lb_scaled, ctx.scal.ub_scaled, max_new, *sel_args)
         else:
             # non-optimized sampling: always rebuild along coordinate axes
@@ -488,7 +499,15 @@ class RbfOps(SurrogateOps):
         """Accept extra in-box database points while the Cholesky factor of
         ``Z' Phi Z`` stays bounded (``_rbf_round4``, ``RbfModel.jl:352-499``)."""
         cap = db.X.shape[0]
-        in_box = dbm.results_in_box(db, lb2, ub2)
+        if _SEL_CLAMP:  # PROFILING ONLY: chunked-pricing headroom bound
+            cap = min(cap, _SEL_CLAMP)
+            db_v = dataclasses.replace(
+                db, data=db.data[:cap], count=jnp.minimum(db.count, cap))
+            in_box = dbm.results_in_box(db_v, lb2, ub2)
+            in_box = jnp.zeros((db.X.shape[0],), bool).at[:cap].set(in_box)
+            cap = db.X.shape[0]
+        else:
+            in_box = dbm.results_in_box(db, lb2, ub2)
         in_training = jnp.any(
             (jnp.arange(cap)[:, None] == idx[None, :])
             & (jnp.arange(self.cap_train)[None, :] < count), axis=1)
@@ -507,15 +526,18 @@ class RbfOps(SurrogateOps):
             X_all = jnp.concatenate([db.X, rand_pts], axis=0)
             cand_all = jnp.concatenate([cand, jnp.ones((n_rand,), bool)])
 
-        # round-4 working-set bound: the routine starts from the rounds-1-3
-        # set (count <= n+1 here) and accepts until ``max_points`` total, so
-        # its (maxN, maxN) QR/Cholesky state needs only
-        # ``max(max_points, n+1)`` rows — NOT the improve-append room that
-        # ``cap_train`` additionally reserves (passing the full cap_train
-        # buffer grew the fused round-4 kernel quadratically: 63.0k -> 46.6k
-        # runs/s at the bench config, measured round 4)
-        r4_cap = max(self.max_points, self.n_vars + 1)
-        init_sites, _ = dbm.get_rows(db, idx[:r4_cap])
+        # Pass the FULL cap_train buffer as the round-4 init sites. Round 5
+        # re-measured the round-4 ``idx[:r4_cap]`` slice with an interleaved
+        # same-session bisect (tools/ab_tips.py, 3 repeats x 3 invocations
+        # per variant) and the slice WAS the r3->r4 headline regression:
+        # full buffer 73.4-74.0k runs/s vs sliced 59-61k at the bench
+        # config, 9.5k vs 8.9k at the ref budget. The round-4 session
+        # measurement that motivated it (46.6k vs 63.0k) was a session
+        # artifact (that day's tunnel swung 58.3->48.1k on identical runs —
+        # f8815a4's own commit message). Rows past ``count`` are masked by
+        # the kernel, so buffer width only sets state size — results are
+        # bit-identical either way (golden + oracle locks).
+        init_sites, _ = dbm.get_rows(db, idx)
         param = self._resolve_param(ctx.delta)
         # scan only the first max_candidates rows (matching run_round4's
         # ``max_candidates`` bound) and route through the fused-kernel

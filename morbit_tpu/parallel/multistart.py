@@ -77,9 +77,12 @@ def _cap_at(solver, cum_iters: int) -> int:
 
     ac = solver.ac
     full = solver.db_capacity
-    if ac.db_capacity > 0:  # explicit user capacity: honor it verbatim
-        return full
-    cap = _dc.replace(ac, max_iter=int(cum_iters)).resolved_db_capacity(
+    # an explicit capacity (e.g. suggest_db_capacity) CLIPS the per-stage
+    # heuristic instead of disabling staging: the heuristic at t iterations
+    # is a safe fill bound whatever the total capacity is, so stages below
+    # the explicit cap still run tighter
+    cap = _dc.replace(ac, max_iter=int(cum_iters),
+                      db_capacity=-1).resolved_db_capacity(
         solver.mop.n_vars, *solver._cap_terms)
     return min(int(cap), int(full))
 
@@ -478,7 +481,8 @@ class StagedMultistart:
         return self._run(x0_batch)
 
     def tuned(self, n_iterations, n_stages: int = 5, quantum: int = 32,
-              slack: float = 1.1) -> "StagedMultistart":
+              slack: float = 1.1,
+              db_capacity: Optional[int] = None) -> "StagedMultistart":
         """Probe-protocol convenience: a compaction-tuned clone of this
         runner from a probe fleet's per-lane iteration counts.
 
@@ -486,7 +490,8 @@ class StagedMultistart:
 
             probe = StagedMultistart(mop, ac)
             res = probe(x0)                  # a full, exact result
-            runner = probe.tuned(res.n_iterations)   # for repeated fleets
+            runner = probe.tuned(res.n_iterations,
+                                 db_capacity=suggest_db_capacity(res))
 
         Combines :func:`suggest_schedule` (quantile-placed stage bounds)
         and :func:`suggest_widths` (per-stage lane-compaction widths).
@@ -494,13 +499,73 @@ class StagedMultistart:
         compile, so it's for REPEATED fleets — measured 42.0k vs 18.4k
         runs/s over the plain staged runner at the reference-default
         budget (bench_points_r3.json). Mesh, dtype, and fleet mode carry
-        over (with ``mesh``, compaction runs per shard)."""
+        over (with ``mesh``, compaction runs per shard).
+
+        ``db_capacity`` (usually :func:`suggest_db_capacity` of the probe)
+        prices the per-trip capacity-linear work at the measured db FILL
+        instead of the worst-case heuristic bound (the round-4/5 roadmap's
+        per-trip capacity pricing: ref-budget batch cost is ~purely
+        capacity-linear). Bit-exact iff no lane overflows — check
+        :func:`capacity_overflowed` on the result and rerun at the default
+        capacity when it fires (the sticky flag makes the tight-cap run
+        self-verifying)."""
         cmop, ac = self.solver.mop, self.solver.ac
+        if db_capacity is not None:
+            import dataclasses as _dc
+
+            ac = _dc.replace(ac, db_capacity=int(db_capacity))
         sched = suggest_schedule(n_iterations, ac.max_iter, n_stages)
         tmp = StagedMultistart(cmop, ac, self.dtype, schedule=sched)
         ws = suggest_widths(tmp, n_iterations, slack=slack, quantum=quantum)
         return StagedMultistart(cmop, ac, self.dtype, schedule=sched,
                                 widths=ws, mesh=self.mesh)
+
+
+def suggest_db_capacity(result, margin: float = 1.25,
+                        quantum: int = 32) -> int:
+    """Probe-derived database capacity: the max db FILL across lanes and
+    groups of a probe fleet, padded by ``margin`` and rounded up to
+    ``quantum`` rows.
+
+    The default ``resolved_db_capacity`` heuristic is a WORST-CASE bound
+    (~O(model points) inserts on every iteration); measured fills at the
+    reference budget are ~5-10x below it, and per-trip cost is ~purely
+    capacity-linear (CLAUDE.md round-3/4 findings: 113.6 ms/batch at cap
+    1507 vs 232.4 at cap 3014, intercept ~0). Running repeated fleets at
+    the probed fill prices every capacity-linear term (selection scans,
+    one-hot inserts, loop-carry copies) at what the workload actually
+    uses.
+
+    Safety: capacity never enters the numerics — an undersized run drops
+    inserts and raises the per-group sticky ``db.overflow`` flag
+    (``core/database.py``). Check :func:`capacity_overflowed` on each
+    result; if it fires, rerun that fleet at the default capacity. A probe
+    with the same iteration budget bounds later fills well in practice
+    (``margin`` covers start-point variation), but the flag — not the
+    margin — is the correctness guarantee.
+
+    Exactness caveat (same as ``widths``): within one compiled program
+    capacity is inert, and the CPU f64 lock asserts full observable
+    equality — but a DIFFERENT capacity compiles to a differently-fused
+    XLA program, so f32 lanes near a stop-test boundary may flip
+    (measured: 8/1024 stop codes at the reference budget). Use the probe
+    capacity consistently across a fleet campaign."""
+    import numpy as _np
+
+    counts = [int(_np.max(_np.asarray(g.db.count)))
+              for g in result.state.groups]
+    q = max(1, int(quantum))
+    need = int(_np.ceil(max(counts) * float(margin) / q)) * q
+    return max(q, need)
+
+
+def capacity_overflowed(result) -> bool:
+    """True if any group database dropped an insert (sticky overflow flag,
+    any lane) — the guard for :func:`suggest_db_capacity`-tightened runs."""
+    import numpy as _np
+
+    return bool(any(bool(_np.any(_np.asarray(g.db.overflow)))
+                    for g in result.state.groups))
 
 
 def suggest_widths(runner: "StagedMultistart", n_iterations,

@@ -442,6 +442,50 @@ def test_suggest_widths_probe_protocol():
     _assert_canon_close(run(x0), ref)
 
 
+def test_suggest_db_capacity_probe_protocol():
+    """Probe-derived db capacity (per-trip capacity pricing, round-5
+    roadmap item 2): ``suggest_db_capacity`` of a probe fleet is well below
+    the worst-case heuristic; a ``tuned(db_capacity=...)`` rerun matches
+    the probe on every observable (capacity never enters the numerics while
+    the overflow flag stays clear); a deliberately undersized capacity
+    raises the sticky ``capacity_overflowed`` guard instead of silently
+    corrupting."""
+    from morbit_tpu.parallel.multistart import (
+        StagedMultistart, capacity_overflowed, suggest_db_capacity)
+
+    mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
+                             lb=[-4.0, -4.0], ub=[4.0, 4.0])
+    ac = AlgorithmConfig(max_iter=12, qp_iters=100)
+    x0 = halton_starts(8, mop.lb, mop.ub)
+    probe = StagedMultistart(mop, ac, dtype=jnp.float64)
+    ref = probe(x0)
+    assert not capacity_overflowed(ref)
+
+    cap = suggest_db_capacity(ref, quantum=8)
+    assert cap < probe.solver.db_capacity  # heuristic is far above fill
+    run = probe.tuned(ref.n_iterations, quantum=2, db_capacity=cap)
+    assert run.solver.db_capacity == cap
+    res = run(x0)
+    assert not capacity_overflowed(res)
+    for name in ("stop_code", "n_iterations", "n_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(res, name)),
+                                      np.asarray(getattr(ref, name)))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.fx), np.asarray(ref.fx),
+                               rtol=1e-9, atol=1e-9)
+    for ga, gb in zip(res.state.groups, ref.state.groups):
+        np.testing.assert_array_equal(np.asarray(ga.db.count),
+                                      np.asarray(gb.db.count))
+        np.testing.assert_array_equal(np.asarray(ga.n_evals),
+                                      np.asarray(gb.n_evals))
+
+    # undersized -> the sticky flag fires (self-verifying tight runs)
+    tiny = probe.tuned(ref.n_iterations, quantum=2, db_capacity=8)
+    res_t = tiny(x0)
+    assert capacity_overflowed(res_t)
+
+
 def test_suggest_schedule():
     """``suggest_schedule`` places stage bounds at retirement quantiles
     (plus a p99 cap) — increasing, strictly inside (0, max_iter), deduped —

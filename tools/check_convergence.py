@@ -5,7 +5,7 @@ Two-parabolas 2D: the Pareto set is the segment x1 = x2 in [-1, 1]
 Prints the fraction of the 1024 multistart runs whose final iterate is
 within ``TOL`` of the Pareto set — the f32 TPU quality gauge from CLAUDE.md.
 
-Usage:  python tools/check_convergence.py [max_iter]
+Usage:  python tools/check_convergence.py [max_iter] [qp_iters]
 Env:    MORBIT_PLATFORM=cpu   run on host CPU instead of the TPU tunnel
         MORBIT_DTYPE=f64      run float64 (CPU only)
         MORBIT_QP_LANE=0 / MORBIT_DISABLE_FUSED=1 / MORBIT_R4_FUSED=0
@@ -46,7 +46,8 @@ def main():
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     max_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    ac = AlgorithmConfig(max_iter=max_iter, qp_iters=100)
+    qp_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    ac = AlgorithmConfig(max_iter=max_iter, qp_iters=qp_iters)
     solver = build_solver(mop, ac, dtype)
     x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
 
@@ -59,6 +60,7 @@ def main():
     print(json.dumps({
         "platform": jax.devices()[0].platform,
         "max_iter": max_iter,
+        "qp_iters": qp_iters,
         "tol": TOL,
         "convergence": round(float(np.mean(d < TOL)), 4),
         "median_dist": round(float(np.median(d)), 6),
