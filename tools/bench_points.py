@@ -9,7 +9,7 @@ run style) — with the compile time split out, and pairs each with its
 measured single-core CPU denominators (float64 and the dtype-matched
 float32) from ``baseline_measurement.json``.
 
-Writes ``bench_points_r4.json``.
+Writes ``bench_points_r5.json``.
 
 Run on the TPU tunnel:  python tools/bench_points.py
 """
@@ -42,6 +42,9 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
     x0 = jnp.asarray(halton_starts(batch, mop.lb, mop.ub), dtype)
     schedule = None
 
+    cap_tuned = widths == "auto+cap"
+    if cap_tuned:
+        widths = "auto"
     if widths == "auto":
         # probe protocol (suggest_widths docstring): one plain staged fleet
         # measures the per-lane iteration CDF; schedule bounds AND widths
@@ -55,7 +58,15 @@ def measure(max_iter: int, qp_iters: int, n_rep: int = 8,
                                                     suggest_widths)
 
         probe = StagedMultistart(mop, ac, dtype)
-        n_iter = probe(x0).n_iterations
+        probe_res = probe(x0)
+        n_iter = probe_res.n_iterations
+        if cap_tuned:
+            # probe-derived db capacity (round-5: price the capacity-linear
+            # per-trip work at measured FILL; sticky overflow flag guards)
+            from morbit_tpu.parallel.multistart import suggest_db_capacity
+            import dataclasses as _dc
+
+            ac = _dc.replace(ac, db_capacity=suggest_db_capacity(probe_res))
         schedule = suggest_schedule(n_iter, max_iter)
         tmp = StagedMultistart(mop, ac, dtype, schedule=schedule)
         widths = suggest_widths(tmp, n_iter, quantum=32)
@@ -176,9 +187,22 @@ def main():
     # a narrow head of still-active lanes (8ddc80c: 18.9k -> 37.3k runs/s)
     add("reference_default_config_staged_widths", "reference_default_config",
         max_iter=100, qp_iters=400, staged=True, widths="auto")
+    # round-5: + probe-derived db capacity (suggest_db_capacity; measured
+    # +27% over widths-only in tools/ab_capacity.py, quality identical)
+    add("reference_default_config_staged_widths_cap",
+        "reference_default_config", max_iter=100, qp_iters=400, staged=True,
+        widths="auto+cap")
+    # capacity pricing at the bench config too (fill ~tens vs cap 157)
+    add("bench_config_staged_cap", "bench_config", max_iter=10,
+        qp_iters=100, staged=True, widths="auto+cap")
+
+    quality_path = root / "quality_r5.json"
+    quality = (json.loads(quality_path.read_text())
+               if quality_path.exists() else None)
 
     out = {
         "platform": jax.devices()[0].platform,
+        "quality_at_reference_budget": quality,
         "note": "steady-state = mean of 8 repeat calls on pre-staged device "
                 "inputs after the compile call; denominators are measured "
                 "single-instance sequential single-core CPU runs of this "
@@ -189,7 +213,7 @@ def main():
                 "tests/test_multistart.py::test_staged_widths_match_plain)",
         **rows,
     }
-    (root / "bench_points_r4.json").write_text(json.dumps(out, indent=2) + "\n")
+    (root / "bench_points_r5.json").write_text(json.dumps(out, indent=2) + "\n")
 
 
 if __name__ == "__main__":
