@@ -161,7 +161,10 @@ def make_two_parabolas(model_cfg=None, lb=None, ub=None) -> MOP:
 
 
 # ----------------------------------------------------------------- Halton
-_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61]
+_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59,
+           61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127,
+           131, 137, 139, 149, 151, 157, 163, 167, 173]  # covers n <= 40
+           # (BASELINE config 3 names ZDT at n=10-30)
 
 
 def halton(count: int, dim: int, start_index: int = 1) -> np.ndarray:

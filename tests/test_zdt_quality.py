@@ -90,18 +90,42 @@ def _run_ps(name, model_cfg, n_starts=8, **ac_kw):
 
 
 def test_zdt1_rbf_ps_front_quality():
-    """PS + RBF on ZDT1 (round-4 grid addition): PS takes small in-box
-    scalarization steps and stops on the 1e-3 tolerance well before the
-    front at this budget — distinctly weaker front error than steepest
-    descent but with very few true evaluations (observed: front err
-    min 0.283 / med 0.564; evals min 9 / med 13 / max 23)."""
+    """PS + RBF on ZDT1: WHY the plain front error is bounded away from 0,
+    measured (round 5, tools/check_ps_quality.py + /tmp diagnostic):
+
+    Every run stops CRITICAL in 3-6 iterations with the PS criticality
+    measure omega = |tau| -> 0 — NOT on the f/x tolerances (the round-4
+    docstring's guess): rerunning with ``f_tol_rel = x_tol_rel = 0`` and
+    max_iter up to 60 reproduces every trajectory IDENTICALLY (asserted
+    below). tau is stationary at WEAKLY Pareto-critical points, where no
+    in-box point improves EVERY objective: on ZDT1 that includes the
+    f1 = 0 edge with g > 1 ((0, 3.04), (0.008, 1.96), ... measured) —
+    points with O(1) distance to the strict front by construction. The
+    reference's PS scalarization (``descent.jl:320-581``) has the same
+    fixed points; the oracle PS configs lock the same math.
+
+    The meaningful quality lock is therefore distance to the WEAK front
+    (the strict front union the f1 = 0 edge with f2 >= 1): observed
+    weak-err min 0.002 / med ~0.10. A broken PS step (stalling at interior
+    non-critical points) fails the weak-front and stop-code assertions."""
     fx, evals = _run_ps("zdt1", RbfConfig(kernel="cubic"),
                         f_tol_rel=1e-3, x_tol_rel=1e-3)
     fe = _front_err("zdt1", fx)
+    weak = np.minimum(fe, np.where(fx[:, 1] >= 1.0, np.abs(fx[:, 0]),
+                                   np.inf))
+    assert np.min(weak) < 0.02
+    assert np.median(weak) < 0.35
     assert np.min(fe) < 0.5
     assert np.median(fe) < 1.0
     assert np.median(evals) <= 30
     assert np.max(evals) <= 60
+
+    # the stop is PS criticality, not the tolerances: zeroed tolerances
+    # reproduce the runs identically
+    fx0, evals0 = _run_ps("zdt1", RbfConfig(kernel="cubic"),
+                          f_tol_rel=0.0, x_tol_rel=0.0)
+    np.testing.assert_allclose(fx0, fx, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(evals0, evals)
 
 
 def test_zdt2_rbf_ps_front_quality():
