@@ -296,6 +296,15 @@ CASES = {
     # Jacobian chain
     "composite-rbf": _composite_case(max_iter=14, f_tol_rel=0.0,
                                      x_tol_rel=0.0, tol=1e-8),
+    # cross products: the round-5 control paths through the CONSTRAINED
+    # flow (restoration + steplength-scaled radius; restoration + per-iter
+    # rescale retransforming the constraint-group dbs and linear rows)
+    "nl-steplength": _nl_case("ball", [-3.0, 2.5], max_iter=25, tol=1e-12,
+                              radius_update_method="steplength",
+                              require=("RESTORATION",)),
+    "nl-scaler-model": _nl_case("ball", [-3.0, 2.5], max_iter=25, tol=1e-12,
+                                var_scaler_update="model",
+                                require=("RESTORATION",)),
     # ---- Pascoletti-Serafini, reference-default budgets (500*(n+1) grid)
     "ps-refdir": _ps_case(max_iter=4, tol=1e-12, ps=True),
     # no reference direction -> per-objective local ideal-point solves and
