@@ -64,7 +64,19 @@ def _ref_budget_point(mop, dtype, n_rep: int = 4) -> dict:
 
     t0 = time.perf_counter()
     probe = StagedMultistart(mop, ac, dtype)
-    n_iter = probe(x0).n_iterations
+    probe_res = probe(x0)
+    n_iter = probe_res.n_iterations
+    # probe-derived db capacity (round 5): price every capacity-linear
+    # per-trip term at measured FILL instead of the worst-case heuristic
+    # (measured same-session: 37.3k -> 45.8k runs/s at this budget,
+    # bench_points_r5.json; sticky overflow flag reported below is the
+    # correctness guard — tests/test_multistart.py locks observable
+    # equality on CPU f64)
+    import dataclasses as _dc
+
+    from morbit_tpu.parallel.multistart import suggest_db_capacity
+
+    ac = _dc.replace(ac, db_capacity=suggest_db_capacity(probe_res))
     schedule = suggest_schedule(n_iter, 100)
     tmp = StagedMultistart(mop, ac, dtype, schedule=schedule)
     widths = suggest_widths(tmp, n_iter, quantum=32)
@@ -74,8 +86,10 @@ def _ref_budget_point(mop, dtype, n_rep: int = 4) -> dict:
     def slim(x0b):
         res = runner._run_impl(x0b)
         traj_alive = jax.tree_util.tree_map(jnp.sum, res.state.traj)
+        overflow = jnp.any(jnp.stack([jnp.any(g.db.overflow)
+                                      for g in res.state.groups]))
         return (res.x, res.fx, res.stop_code, res.n_iterations, res.n_evals,
-                traj_alive)
+                traj_alive, overflow)
 
     run = jax.jit(slim)
     out = run(x0)
@@ -95,11 +109,13 @@ def _ref_budget_point(mop, dtype, n_rep: int = 4) -> dict:
     return {
         "config": "max_iter=100, qp_iters=400 (reference defaults), "
                   f"{BATCH}-way, probe-tuned StagedMultistart "
-                  f"schedule={schedule} widths={tuple(widths)}",
+                  f"schedule={schedule} widths={tuple(widths)} "
+                  f"db_capacity={ac.db_capacity}",
         "runs_per_sec": round(rps, 2),
         "vs_baseline": round(rps / f64, 2),
         "vs_baseline_f32": round(rps / f32, 2),
         "compile_plus_probe_s": round(compile_s, 1),
+        "capacity_overflow": bool(np.asarray(outs[-1][6])),
     }
 
 
@@ -120,16 +136,32 @@ def main():
     mop = make_two_parabolas(model_cfg=RbfConfig(kernel="multiquadric"),
                              lb=[-4.0, -4.0], ub=[4.0, 4.0])
     ac = AlgorithmConfig(max_iter=MAX_ITER, qp_iters=100)
-    from morbit_tpu.parallel.multistart import StagedMultistart
+    import dataclasses as _dc
+
+    from morbit_tpu.parallel.multistart import (StagedMultistart,
+                                                suggest_db_capacity,
+                                                suggest_schedule,
+                                                suggest_widths)
+
+    x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
 
     # staged-capacity runner: early iterations run at the database/
     # trajectory capacity their cumulative iteration bound implies —
     # bit-exact vs the plain vmapped solve
     # (tests/test_multistart.py::test_staged_multistart_matches_plain),
-    # measured faster at both bench budgets (bench_points_r3.json)
-    runner = StagedMultistart(mop, ac, dtype)
-
-    x0 = jnp.asarray(halton_starts(BATCH, mop.lb, mop.ub), dtype)
+    # measured faster at both bench budgets (bench_points_r3.json).
+    # Round 5 adds probe-derived db-capacity pricing + the probe-tuned
+    # schedule/widths (73.6k -> 80.4k runs/s at this config, same-session
+    # A/B in bench_points_r5.json); the sticky overflow flag in the
+    # payload is the correctness guard for the tightened capacity.
+    probe = StagedMultistart(mop, ac, dtype)
+    probe_res = probe(x0)
+    ac_tuned = _dc.replace(ac, db_capacity=suggest_db_capacity(probe_res))
+    schedule = suggest_schedule(probe_res.n_iterations, MAX_ITER)
+    tmp = StagedMultistart(mop, ac_tuned, dtype, schedule=schedule)
+    widths = suggest_widths(tmp, probe_res.n_iterations, quantum=32)
+    runner = StagedMultistart(mop, ac_tuned, dtype, schedule=schedule,
+                              widths=widths)
 
     def slim_solve(x0_batch):
         # Return the result payload (x, fx, codes, counters) rather than the
@@ -141,8 +173,10 @@ def main():
         # iter_data, ``algorithm.jl:899-903``).
         res = runner._run_impl(x0_batch)
         traj_alive = jax.tree_util.tree_map(jnp.sum, res.state.traj)
+        overflow = jnp.any(jnp.stack([jnp.any(g.db.overflow)
+                                      for g in res.state.groups]))
         return (res.x, res.fx, res.stop_code, res.n_iterations, res.n_evals,
-                traj_alive)
+                traj_alive, overflow)
 
     run = jax.jit(slim_solve)
 
@@ -195,6 +229,8 @@ def main():
         "vs_baseline": round(runs_per_sec / REFERENCE_RUNS_PER_SEC, 2),
         "vs_baseline_f32": round(runs_per_sec / REFERENCE_RUNS_PER_SEC_F32, 2),
         "blocked_latency_ms": round(blocked_latency_s * 1e3, 1),
+        "db_capacity": ac_tuned.db_capacity,
+        "capacity_overflow": bool(np.asarray(res[6])),
         "protocol": f"sustained: {n_rep} back-to-back batches, distinct "
                     "pre-staged inputs, one final block",
         "ref_budget": ref_budget,
