@@ -222,6 +222,46 @@ def _composite_case(**kw):
     return make, kw
 
 
+def _composite_nl_case(require=(), **kw):
+    """Composite objectives (shared RBF-modelled inner function) UNDER an
+    exact NL inequality constraint: the descent/normal-step LP rows mix
+    the CompositeSurrogate chain-rule Jacobian with linearized constraint
+    rows, and theta/filter/restoration run beside the composite flow —
+    the one cross the round-5 configs had not exercised
+    (``VecFun.jl:13-98`` x ``algorithm.jl:691-718``)."""
+    def make():
+        cfg = RbfConfig(kernel="cubic", max_model_points=3)
+        mop = MOP([-2.0, -2.0], [2.0, 2.0])
+        gidx = mop.add_function(
+            lambda x: jnp.stack([x[0] - 1.0, x[1] + 1.0]), n_out=2,
+            model_cfg=cfg)
+        mop.add_composite_objective(
+            lambda x, g: jnp.sum(g ** 2) + 0.1 * x[0], gidx)
+        mop.add_composite_objective(
+            lambda x, g: (g[0] - 2.0) ** 2 + g[1] ** 2, gidx)
+        # ball constraint making most of the unconstrained Pareto segment
+        # infeasible; the start is infeasible too
+        mop.add_nl_ineq_constraint(lambda x: jnp.sum(x ** 2) - 2.0,
+                                   model_cfg=ExactConfig())
+        F = lambda x: np.array([x[0] - 1.0, x[1] + 1.0])
+        J = lambda x: np.eye(2)
+        out1 = (lambda x, g: np.array([g[0] ** 2 + g[1] ** 2 + 0.1 * x[0]]),
+                lambda x, g: np.array([[0.1, 0.0]]),
+                lambda x, g: np.array([[2.0 * g[0], 2.0 * g[1]]]), 1)
+        out2 = (lambda x, g: np.array([(g[0] - 2.0) ** 2 + g[1] ** 2]),
+                lambda x, g: np.array([[0.0, 0.0]]),
+                lambda x, g: np.array([[2.0 * (g[0] - 2.0), 2.0 * g[1]]]), 1)
+        Fc = lambda x: np.array([np.sum(x ** 2) - 2.0])
+        Jc = lambda x: (2.0 * x)[None, :]
+        groups = [GroupSpec(role="obj", m=2, F=F, J=J, kind="rbf",
+                            kernel="cubic", outers=(out1, out2)),
+                  GroupSpec(role="nl_ineq", m=1, F=Fc, J=Jc)]
+        return (mop, groups, [-2.0, -2.0], [2.0, 2.0],
+                np.array([1.5, -1.5]))
+    kw["_require"] = require
+    return make, kw
+
+
 def _ps_case(**kw):
     def make():
         F1, J1, F2, J2 = _obj_specs()
@@ -296,6 +336,17 @@ CASES = {
     # Jacobian chain
     "composite-rbf": _composite_case(max_iter=14, f_tol_rel=0.0,
                                      x_tol_rel=0.0, tol=1e-8),
+    # composite objective group UNDER an exact NL constraint (round-6
+    # roadmap cross: CompositeSurrogate chain-rule rows + linearized
+    # constraint rows in the same subproblem LPs, restoration from the
+    # infeasible start). Budget-capped at 3 iterations: by iteration 4
+    # the run is at the constrained critical point with omega ~1e-7 and
+    # the weakly-determined min-max LP flips the stop path between
+    # equally valid vertices (the documented near-critical class —
+    # measured: repo omega -5e-8/FILTER_ADD/stop 5 vs oracle
+    # 6e-7/FILTER_FAIL/stop 4 after EXACT agreement through iteration 3)
+    "composite-nl": _composite_nl_case(max_iter=3, tol=1e-9,
+                                       require=("RESTORATION",)),
     # cross products: the round-5 control paths through the CONSTRAINED
     # flow (restoration + steplength-scaled radius; restoration + per-iter
     # rescale retransforming the constraint-group dbs and linear rows)
